@@ -1,0 +1,116 @@
+"""Cameras and ray generation (pinhole + equisolid fisheye).
+
+Reproduces the reference camera semantics:
+  - UVW basis (src/Camera.cpp:3-14): W = lookat - eye (unnormalized; |W| is
+    the focal length), U = normalize(W x up) * ulen, V = normalize(U x W) *
+    vlen, vlen = |W| * tan(fovY/2), ulen = vlen * aspect.
+  - The raygen program negates U and V before use (shaders/tracer.cu:37-38).
+  - Pinhole rays (shaders/tracer.cuh:115-134): NDC d in [-1,1]^2 from pixel
+    centers, dir = normalize(d.x*U' + d.y*V' + W) with U' = -U, V' = -V.
+  - Fisheye rays (shaders/tracer.cuh:136-165): equisolid r = 2 f sin(theta/2)
+    with f = 1/sqrt(2); pixels with r > 1 produce no ray and are blanked to
+    black (src/GaussianTracer.cpp:510-513).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_ray_tracing_tpu.config import CameraModel, RenderConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Look-at camera. eye/lookat/up are traced leaves; the rest is static."""
+
+    eye: jnp.ndarray  # (3,)
+    lookat: jnp.ndarray  # (3,)
+    up: jnp.ndarray  # (3,)
+    fov_y_deg: float = dataclasses.field(default=60.0, metadata=dict(static=True))
+    width: int = dataclasses.field(default=1280, metadata=dict(static=True))
+    height: int = dataclasses.field(default=720, metadata=dict(static=True))
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+    @staticmethod
+    def create(eye, lookat, up=(0.0, 1.0, 0.0), fov_y_deg=60.0, width=1280, height=720):
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        return Camera(f32(eye), f32(lookat), f32(up), float(fov_y_deg), int(width), int(height))
+
+    def uvw_frame(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """U, V, W per src/Camera.cpp:3-14 (W unnormalized = focal)."""
+        W = self.lookat - self.eye
+        wlen = jnp.linalg.norm(W)
+        U = _normalize(jnp.cross(W, self.up))
+        V = _normalize(jnp.cross(U, W))
+        vlen = wlen * jnp.tan(0.5 * jnp.deg2rad(jnp.float32(self.fov_y_deg)))
+        ulen = vlen * self.aspect
+        return U * ulen, V * vlen, W
+
+
+def _normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def pixel_ndc(width: int, height: int) -> jnp.ndarray:
+    """(H, W, 2) NDC coords d = 2*((px+0.5)/W, (py+0.5)/H) - 1 (tracer.cuh:126-130)."""
+    xs = (np.arange(width, dtype=np.float32) + 0.5) / width
+    ys = (np.arange(height, dtype=np.float32) + 0.5) / height
+    dx = 2.0 * xs - 1.0
+    dy = 2.0 * ys - 1.0
+    return jnp.asarray(np.stack(np.meshgrid(dx, dy, indexing="xy"), axis=-1))
+
+
+def generate_rays(camera: Camera, config: RenderConfig):
+    """All primary rays of a frame.
+
+    Returns:
+      origins: (H, W, 3)
+      dirs:    (H, W, 3) normalized; zero vector where no ray exists
+      valid:   (H, W) bool; False for fisheye pixels with r > 1 (these are
+               blanked to black, matching the reference memset,
+               src/GaussianTracer.cpp:510-513)
+    """
+    U, V, W = camera.uvw_frame()
+    Un, Vn = -U, -V  # raygen negates U and V (shaders/tracer.cu:37-38)
+    d = pixel_ndc(camera.width, camera.height)
+    dx, dy = d[..., 0], d[..., 1]
+    if config.camera_model == CameraModel.PINHOLE:
+        dirs = dx[..., None] * Un + dy[..., None] * Vn + W
+        dirs = _normalize(dirs)
+        valid = jnp.ones(dirs.shape[:-1], bool)
+    elif config.camera_model == CameraModel.FISHEYE:
+        r = jnp.sqrt(dx * dx + dy * dy)
+        valid = r <= 1.0
+        f = config.fisheye_focal
+        theta = 2.0 * jnp.arcsin(jnp.clip(r / (2.0 * f), -1.0, 1.0))
+        phi = jnp.arctan2(dy, dx)
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        local = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+        dirs = local[..., 0:1] * Un + local[..., 1:2] * Vn + local[..., 2:3] * W
+        dirs = jnp.where(valid[..., None], _normalize(dirs), 0.0)
+    else:
+        raise ValueError(f"unknown camera model {config.camera_model}")
+    origins = jnp.broadcast_to(camera.eye, dirs.shape)
+    return origins, dirs, valid
+
+
+def orbit_camera(center, radius: float, azimuth_deg: float, elevation_deg: float,
+                 **kw) -> Camera:
+    """Convenience orbit camera around a scene center."""
+    az = np.deg2rad(azimuth_deg)
+    el = np.deg2rad(elevation_deg)
+    offset = np.array(
+        [np.cos(el) * np.sin(az), np.sin(el), np.cos(el) * np.cos(az)],
+        dtype=np.float32,
+    ) * radius
+    center = np.asarray(center, np.float32)
+    return Camera.create(eye=center + offset, lookat=center, **kw)

@@ -1,0 +1,192 @@
+"""Command-line interface.
+
+Superset of the reference CLI (src/main.cpp:23-42: -p/--ply, --width,
+--height) with subcommands: render (offline PNG instead of the GLFW window),
+bench, grad-check, and info. The interactive GUI capabilities map to flags:
+fisheye toggle (gui.cpp:188-191), render type (gui.cpp:374-438), primitive
+insertion (gui.cpp:319-330).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_scene_args(p: argparse.ArgumentParser):
+    p.add_argument("-p", "--ply", type=str, default=None, help="trained 3DGS PLY")
+    p.add_argument("--synthetic", type=int, default=None, metavar="N",
+                   help="use a seeded synthetic scene with N gaussians")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _add_camera_args(p: argparse.ArgumentParser):
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--eye", type=float, nargs=3, default=None)
+    p.add_argument("--lookat", type=float, nargs=3, default=None)
+    p.add_argument("--fov", type=float, default=60.0)
+    p.add_argument("--fisheye", action="store_true")
+
+
+def _add_render_args(p: argparse.ArgumentParser):
+    p.add_argument("--method", choices=["auto", "oracle", "tiled", "pallas"],
+                   default="auto")
+    p.add_argument("--sh-degree", type=int, default=0)
+    p.add_argument("--hit-multiplicity", type=int, default=2,
+                   help="2 = reference proxy-hull double-hit compositing; "
+                        "1 = standard volume rendering")
+    p.add_argument("--mesh-type", choices=["mirror", "normal", "glass"],
+                   default="mirror")
+    p.add_argument("--add-plane", action="store_true")
+    p.add_argument("--add-sphere", action="store_true")
+    p.add_argument("--load-obj", type=str, default=None)
+
+
+def _build(args):
+    from gaussian_ray_tracing_tpu.cameras import Camera
+    from gaussian_ray_tracing_tpu.config import CameraModel, RenderConfig
+    from gaussian_ray_tracing_tpu.models.renderer import GaussianRayTracer
+    from gaussian_ray_tracing_tpu.scene.synthetic import random_scene
+
+    if args.ply:
+        from gaussian_ray_tracing_tpu.scene.ply import load_ply
+
+        scene = load_ply(args.ply)
+    else:
+        n = args.synthetic or 100_000
+        scene = random_scene(n, seed=args.seed)
+
+    cfg = RenderConfig(
+        sh_degree=getattr(args, "sh_degree", 0),
+        hit_multiplicity=getattr(args, "hit_multiplicity", 2),
+        camera_model=CameraModel.FISHEYE if args.fisheye else CameraModel.PINHOLE,
+    )
+    tracer = GaussianRayTracer(scene=scene, config=cfg)
+    tracer.set_size(args.width, args.height)
+    center = np.asarray(scene.center())
+    eye = np.asarray(args.eye) if args.eye else center + np.array([0.0, 0.0, 3.0])
+    lookat = np.asarray(args.lookat) if args.lookat else center
+    tracer.update_camera(
+        Camera.create(eye=eye, lookat=lookat, fov_y_deg=args.fov,
+                      width=args.width, height=args.height)
+    )
+    if getattr(args, "add_plane", False):
+        tracer.create_plane()
+    if getattr(args, "add_sphere", False):
+        tracer.create_sphere(tess_u=36, tess_v=18)
+    if getattr(args, "load_obj", None):
+        tracer.create_load_mesh(args.load_obj)
+    tracer.set_render_type(getattr(args, "mesh_type", "mirror"))
+    return tracer
+
+
+def cmd_render(args):
+    from gaussian_ray_tracing_tpu.utils.image import write_png
+
+    tracer = _build(args)
+    frame = tracer.render_rgb8(method=args.method)
+    write_png(args.output, frame)
+    print(f"wrote {args.output} ({frame.shape[1]}x{frame.shape[0]})")
+
+
+def cmd_bench(args):
+    import jax
+
+    from gaussian_ray_tracing_tpu.utils.timing import benchmark
+
+    tracer = _build(args)
+    run = lambda: tracer.render(method=args.method)["rgb"]
+    stats = benchmark(run, warmup=2, iters=args.iters)
+    mrays = args.width * args.height / stats["mean_s"] / 1e6
+    print(json.dumps({
+        "metric": f"forward Mrays/s ({args.width}x{args.height}, {args.method})",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "mean_ms": round(stats["mean_ms"], 3),
+        "backend": jax.default_backend(),
+    }))
+
+
+def cmd_grad_check(args):
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_ray_tracing_tpu.cameras import Camera
+    from gaussian_ray_tracing_tpu.config import RenderConfig
+    from gaussian_ray_tracing_tpu.models.gaussian_model import GaussianModel
+    from gaussian_ray_tracing_tpu.models.tiled import render_tiled
+    from gaussian_ray_tracing_tpu.scene.synthetic import random_scene
+
+    cfg = RenderConfig(hit_multiplicity=1)
+    model = GaussianModel.from_scene(random_scene(args.n, seed=args.seed, pad_to=None))
+    cam = Camera.create(eye=(0, 0, 3), lookat=(0, 0, 0), width=32, height=32)
+    target = jnp.zeros((32, 32, 3))
+
+    def loss(m):
+        return jnp.mean((render_tiled(m.activate(), cam, cfg)["rgb"] - target) ** 2)
+
+    g = jax.grad(loss)(model)
+    import dataclasses
+    base = float(loss(model))
+    eps = 1e-3
+    report = {}
+    for f in ["means", "log_scales", "raw_quats", "raw_opacities", "sh"]:
+        arr = np.asarray(getattr(model, f), np.float64)
+        ga = np.asarray(getattr(g, f), np.float64)
+        idx = np.unravel_index(int(np.argmax(np.abs(ga))), arr.shape)
+        d = np.zeros_like(arr)
+        d[idx] = eps
+        up = dataclasses.replace(model, **{f: jnp.asarray(arr + d, jnp.float32)})
+        dn = dataclasses.replace(model, **{f: jnp.asarray(arr - d, jnp.float32)})
+        fd = (float(loss(up)) - float(loss(dn))) / (2 * eps)
+        report[f] = {"autodiff": float(ga[idx]), "finite_diff": fd}
+    print(json.dumps({"base_loss": base, "grads": report}, indent=2))
+
+
+def cmd_info(args):
+    tracer = _build(args)
+    s = tracer.scene
+    print(json.dumps({
+        "num_gaussians": s.num_active,
+        "padded": s.num_gaussians,
+        "sh_coeffs": s.sh_coeffs,
+        "center": np.asarray(s.center()).tolist(),
+        "native_core": __import__(
+            "gaussian_ray_tracing_tpu.native.bindings", fromlist=["available"]
+        ).available(),
+    }))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="grt", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render a frame to PNG")
+    _add_scene_args(p); _add_camera_args(p); _add_render_args(p)
+    p.add_argument("-o", "--output", type=str, default="render.png")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bench", help="measure forward Mrays/s")
+    _add_scene_args(p); _add_camera_args(p); _add_render_args(p)
+    p.add_argument("--iters", type=int, default=10)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("grad-check", help="autodiff vs finite differences")
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_grad_check)
+
+    p = sub.add_parser("info", help="scene statistics")
+    _add_scene_args(p); _add_camera_args(p)
+    p.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,117 @@
+"""Render configuration.
+
+Every hardcoded constant of the reference is exposed here as a field, with
+defaults equal to the reference values so that default-config renders are
+numerically parity-comparable. Citations refer to files under
+``/root/reference`` (Ray-Studio2/gaussian-ray-tracing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+
+class CameraModel(enum.Enum):
+    PINHOLE = "pinhole"
+    FISHEYE = "fisheye"
+
+
+class MeshType(enum.IntEnum):
+    """Secondary-ray interaction type for inserted triangle meshes.
+
+    Mirrors ``MeshType`` in the reference (src/Parameters.h:80-85).
+    """
+
+    MIRROR = 0
+    NORMAL = 1
+    GLASS = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (hashable) renderer configuration.
+
+    Defaults reproduce the reference exactly:
+      - t_min/t_max/min_transmittance/alpha_min: src/GaussianTracer.cpp:479-486
+      - k-buffer size 7, bounce/timeout caps, mesh-trace epsilons:
+        shaders/tracer.cuh:9-14
+      - per-hit alpha clamp 0.99: shaders/tracer.cuh:357
+      - sh_degree 0 at runtime (eval exists for 0-3): src/GaussianTracer.cpp:483
+      - fisheye equisolid f=1/sqrt(2): shaders/tracer.cuh:158
+      - glass/air IOR 1.5/1.0003: shaders/tracer.cuh:477-479
+    """
+
+    # --- Gaussian pass (src/GaussianTracer.cpp:479-486) ---
+    t_min: float = 1e-3
+    t_max: float = 1e5
+    min_transmittance: float = 1e-3
+    alpha_min: float = 0.01
+    alpha_clamp: float = 0.99
+    sh_degree: int = 0
+
+    # --- Mesh (secondary-bounce) pass (shaders/tracer.cuh:9-14) ---
+    mesh_t_min: float = 1e-5
+    mesh_t_max: float = 1e5
+    max_bounces: int = 32
+    timeout_iterations: int = 1000
+    refraction_eps_shift: float = 1e-5
+    glass_ior: float = 1.5
+    air_ior: float = 1.0003
+    mesh_type: MeshType = MeshType.MIRROR
+
+    # --- Hit-multiplicity compatibility knob ---
+    # The reference builds its BVH over closed icosahedron proxy hulls with no
+    # backface culling (src/GaussianTracer.cpp:355-360,417: flags are all
+    # OPTIX_*_FLAG_NONE), so each particle is inserted into the anyhit k-buffer
+    # TWICE per ray (hull entry + hull exit triangles, shaders/tracer.cu:136-153)
+    # and front-to-back composited twice with the same alpha
+    # (shaders/tracer.cuh:349-368).  hit_multiplicity=2 reproduces that
+    # behavior exactly (alpha_eff = 1-(1-a)^2 = a*(2-a));  hit_multiplicity=1
+    # gives the mathematically standard single-evaluation volume rendering of
+    # 3DGRT / official 3DGRUT.
+    hit_multiplicity: int = 2
+
+    # --- Camera ---
+    camera_model: CameraModel = CameraModel.PINHOLE
+    # Equisolid fisheye focal (shaders/tracer.cuh:158): f = 1/sqrt(2)
+    fisheye_focal: float = 1.0 / math.sqrt(2.0)
+
+    # --- Tiled-renderer (TPU fast path) knobs; no reference analog ---
+    tile_w: int = 16
+    tile_h: int = 16
+    # Max (tile, gaussian) overlap pairs a single gaussian may emit per axis;
+    # footprints wider than this are clamped (conservative dropping is logged
+    # by the culling stage via the overflow counter it returns).
+    max_tile_span: int = 8
+    # Capacity of each tile's depth-sorted candidate list.
+    max_per_tile: int = 1024
+    # Capacity of the per-frame broadcast list for footprints wider than
+    # max_tile_span tiles (e.g. gaussians enclosing the camera); these are
+    # depth-merged into every tile so no coverage is cropped.
+    big_capacity: int = 64
+    # Candidate chunk processed per inner step of the march kernel.
+    march_chunk: int = 256
+    # Hit ordering inside the march:
+    #   "key"    — global per-tile depth-key order only (fastest; the
+    #              standard sorted-splatting approximation)
+    #   "window" — additionally re-sorts each march chunk per ray by its own
+    #              exact event t (bounded-window per-ray ordering; inversions
+    #              wider than march_chunk candidates remain approximate).
+    # The oracle renderer is always exactly per-ray ordered.
+    order: str = "window"
+    # Compute/composite dtype for the fast path ("float32" or "bfloat16").
+    compute_dtype: str = "float32"
+    # Use the fused Pallas kernel for the per-tile march (False = pure-JAX path).
+    use_pallas: bool = False
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def rays_per_tile(self) -> int:
+        return self.tile_w * self.tile_h
+
+
+DEFAULT_CONFIG = RenderConfig()

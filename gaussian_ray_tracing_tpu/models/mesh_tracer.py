@@ -1,0 +1,220 @@
+"""Secondary-ray tracer: gaussians + inserted triangle meshes with bounces.
+
+Replaces the reference's per-pixel global-memory traceState machine
+(src/Parameters.h:87-93, shaders/tracer.cuh:75-92) with ordinary batched
+control flow: a bounded bounce loop over the whole ray batch, each iteration
+doing a mesh closest-hit sweep then a gaussian segment march, carrying the
+same payload the raygen loop carries (shaders/tracer.cu:17-110):
+accumColor, accumAlpha, directLight, blockingRadiance, numBounces, and the
+cross-segment gaussian transmittance (rayData.density,
+shaders/tracer.cuh:334,372).
+
+Semantics per bounce (shaders/tracer.cu:59-106):
+  - mesh MISS -> final gaussian pass over [t_min, t_max]:
+        directLight = radiance_seg * density_total
+        accumAlpha  = clamp(accumAlpha + density_total)
+        terminate
+  - mesh HIT  -> gaussian pass over [t_min, t_hit]:
+        accumColor += (1 - accumAlpha) * radiance_seg
+        accumAlpha  = clamp(accumAlpha + density_total)
+        blockingRadiance = clamp(blockingRadiance + density_total)
+        continue with reflected/refracted ray (MIRROR: tracer.cu:171-172;
+        GLASS: tracer.cuh:432-482), or terminate after compositing the
+        normal color (NORMAL: tracer.cuh:406-429)
+  - both paths then add directLight * (1 - blockingRadiance).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_ray_tracing_tpu.cameras import Camera, generate_rays
+from gaussian_ray_tracing_tpu.config import MeshType, RenderConfig
+from gaussian_ray_tracing_tpu.models.oracle import render_rays_oracle
+from gaussian_ray_tracing_tpu.ops.intersect import closest_hit, reflect, refract_or_tir
+from gaussian_ray_tracing_tpu.scene.gaussians import GaussianScene
+from gaussian_ray_tracing_tpu.scene.mesh import TriangleMesh
+
+
+def _interp_normal(mesh_n, faces, hit):
+    n0 = mesh_n[faces[hit.face][:, 0]]
+    n1 = mesh_n[faces[hit.face][:, 1]]
+    n2 = mesh_n[faces[hit.face][:, 2]]
+    w0 = (1.0 - hit.u - hit.v)[:, None]
+    n = w0 * n0 + hit.u[:, None] * n1 + hit.v[:, None] * n2
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def render_rays_with_mesh(
+    scene: GaussianScene,
+    mesh: TriangleMesh,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    config: RenderConfig,
+    loop_bound: int = 8,
+    ray_chunk: int = 4096,
+):
+    """Trace a flat ray batch through mesh bounces + gaussian segments.
+
+    loop_bound caps batched bounce iterations (the reference's per-ray loop
+    runs to MAX_BOUNCES=32 / TIMEOUT=1000, tracer.cuh:12-13; scenes needing
+    more than `loop_bound` surface interactions per ray should raise it).
+
+    The whole bounce loop runs per ray chunk (lax.map) so triangle-intersect
+    intermediates of shape (rays, faces, 3) stay bounded regardless of frame
+    size.
+    """
+    R_total = origins.shape[0]
+    if R_total > ray_chunk:
+        pad = (-R_total) % ray_chunk
+        if pad:
+            z = jnp.zeros((pad, 3), origins.dtype)
+            origins = jnp.concatenate([origins, z], 0)
+            dirs = jnp.concatenate([dirs, z], 0)
+        n_chunks = origins.shape[0] // ray_chunk
+        rgb, alpha = jax.lax.map(
+            lambda args: render_rays_with_mesh(
+                scene, mesh, args[0], args[1], config,
+                loop_bound=loop_bound, ray_chunk=ray_chunk,
+            ),
+            (
+                origins.reshape(n_chunks, ray_chunk, 3),
+                dirs.reshape(n_chunks, ray_chunk, 3),
+            ),
+        )
+        return rgb.reshape(-1, 3)[:R_total], alpha.reshape(-1)[:R_total]
+
+    R = origins.shape[0]
+    wv = mesh.world_vertices()
+    wn = mesh.world_normals()
+    faces = mesh.faces
+    v0, v1, v2 = wv[faces[:, 0]], wv[faces[:, 1]], wv[faces[:, 2]]
+
+    glass_ratio = config.glass_ior / config.air_ior
+
+    def body(i, state):
+        (o, d, accum_color, accum_alpha, direct_light, blocking, bounces, trans, done) = state
+        live = (~done) & (jnp.sum(d * d, axis=-1) > 0.01) & (bounces < config.max_bounces)
+
+        hit = closest_hit(o, d, v0, v1, v2, config.mesh_t_min, config.mesh_t_max)
+        has_hit = hit.hit & live
+
+        normal = _interp_normal(wn, faces, hit)
+
+        # gaussian segment: [t_min, t_hit] on mesh hit, [t_min, t_max] on miss
+        seg_hi = jnp.where(has_hit, hit.t, config.t_max)
+        rgb_seg, _, t_next = render_rays_oracle(
+            scene,
+            o,
+            jnp.where(live[:, None], d, 0.0),
+            config,
+            t_lo=config.t_min,
+            t_hi=seg_hi,
+            t0=trans,
+            ray_chunk=ray_chunk,
+        )
+        density_total = 1.0 - t_next  # rayData.density (cumulative)
+
+        # --- miss -> last gaussian pass (tracer.cu:68-83) ---
+        miss = live & ~has_hit
+        direct_light = jnp.where(miss[:, None], rgb_seg * density_total[:, None], direct_light)
+        accum_alpha = jnp.where(miss, jnp.clip(accum_alpha + density_total, 0.0, 1.0), accum_alpha)
+
+        # --- hit -> mid-bounce accumulation (tracer.cu:84-99) ---
+        accum_color = jnp.where(
+            has_hit[:, None], accum_color + (1.0 - accum_alpha)[:, None] * rgb_seg, accum_color
+        )
+        accum_alpha = jnp.where(has_hit, jnp.clip(accum_alpha + density_total, 0.0, 1.0), accum_alpha)
+        blocking = jnp.where(has_hit, jnp.clip(blocking + density_total, 0.0, 1.0), blocking)
+
+        # --- surface interaction ---
+        if config.mesh_type == MeshType.MIRROR:
+            new_d = reflect(d, normal)
+            new_bounces = bounces + 1
+            t_shift = hit.t
+            terminate_hit = jnp.zeros_like(has_hit)
+        elif config.mesh_type == MeshType.GLASS:
+            new_d, reflected = refract_or_tir(d, normal, glass_ratio)
+            new_bounces = bounces + reflected.astype(bounces.dtype)
+            t_shift = hit.t + jnp.where(reflected, 0.0, config.refraction_eps_shift)
+            terminate_hit = jnp.zeros_like(has_hit)
+        elif config.mesh_type == MeshType.NORMAL:
+            # renderNormal (tracer.cuh:406-429): alpha there is the segment
+            # density; composite gaussians then the normal color, terminate
+            normal_color = (normal + 1.0) * 0.5
+            add = rgb_seg + normal_color * (1.0 - density_total)[:, None]
+            accum_color = jnp.where(
+                has_hit[:, None],
+                accum_color - (1.0 - accum_alpha)[:, None] * rgb_seg + add,
+                accum_color,
+            )
+            accum_alpha = jnp.where(
+                has_hit, jnp.clip(accum_alpha + (1.0 - density_total), 0.0, 1.0), accum_alpha
+            )
+            new_d = d
+            new_bounces = bounces
+            t_shift = hit.t
+            terminate_hit = has_hit
+        else:
+            raise ValueError(config.mesh_type)
+
+        # both paths: accumColor += directLight * (1 - blockingRadiance)
+        # (tracer.cu:101); on the final miss iteration blocking holds its
+        # pre-miss value, matching the reference ordering
+        accum_color = jnp.where(
+            live[:, None], accum_color + direct_light * (1.0 - blocking)[:, None], accum_color
+        )
+
+        o = jnp.where(has_hit[:, None], o + t_shift[:, None] * d, o)
+        d = jnp.where(has_hit[:, None] & ~terminate_hit[:, None], new_d, jnp.zeros_like(d))
+        bounces = jnp.where(has_hit, new_bounces, bounces)
+        trans = t_next
+        done = done | miss | terminate_hit | (~live)
+        return (o, d, accum_color, accum_alpha, direct_light, blocking, bounces, trans, done)
+
+    zero3 = jnp.zeros((R, 3), jnp.float32)
+    zero = jnp.zeros((R,), jnp.float32)
+    state = (
+        origins,
+        dirs,
+        zero3,  # accumColor
+        zero,  # accumAlpha
+        zero3,  # directLight
+        zero,  # blockingRadiance
+        jnp.zeros((R,), jnp.int32),
+        jnp.ones((R,), jnp.float32),  # transmittance carry (1 - density)
+        jnp.zeros((R,), bool),
+    )
+    state = jax.lax.fori_loop(0, loop_bound, body, state)
+    accum_color, accum_alpha = state[2], state[3]
+    return accum_color, accum_alpha
+
+
+@partial(jax.jit, static_argnames=("config", "loop_bound", "ray_chunk"))
+def render_with_mesh(
+    scene: GaussianScene,
+    mesh: TriangleMesh,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+    loop_bound: int = 8,
+    ray_chunk: int = 4096,
+):
+    """Full-frame render with secondary-ray mesh effects."""
+    origins, dirs, valid = generate_rays(camera, config)
+    H, W = dirs.shape[:2]
+    rgb, alpha = render_rays_with_mesh(
+        scene,
+        mesh,
+        origins.reshape(-1, 3),
+        dirs.reshape(-1, 3),
+        config,
+        loop_bound=loop_bound,
+        ray_chunk=ray_chunk,
+    )
+    rgb = jnp.clip(rgb.reshape(H, W, 3), 0.0, 1.0)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    alpha = jnp.where(valid, alpha.reshape(H, W), 0.0)
+    return {"rgb": rgb, "alpha": alpha}

@@ -1,0 +1,209 @@
+"""Sharded renderers over a jax.sharding.Mesh.
+
+Three strategies (BASELINE.json config 5; none exist in the single-GPU
+reference, SURVEY.md section 2 parallelism census):
+
+  1. render_rays_sharded_oracle — flat rays sharded over the 'rays' axis,
+     gaussians replicated; embarrassingly parallel, exact.
+  2. render_tiled_sharded — image tiles sharded over 'rays', gaussians
+     replicated; the production ray-DP forward (binning is replicated,
+     the march is shard_map'ed and differentiable).
+  3. render_gaussian_sharded — gaussians depth-slab partitioned over the
+     'gauss' axis (optionally rays over 'rays' too): each shard composites
+     its own contiguous view-depth slab with carry-in transmittance 1, then
+     an all_gather + ordered segment fold combines slabs front-to-back —
+     the compositing recurrence is associative over depth-ordered segments
+     (the ring-attention analog for volume rendering).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gaussian_ray_tracing_tpu.cameras import Camera, generate_rays
+from gaussian_ray_tracing_tpu.config import RenderConfig
+from gaussian_ray_tracing_tpu.models.oracle import render_rays_oracle
+from gaussian_ray_tracing_tpu.models.tiled import (
+    default_pair_capacity,
+    march_frame,
+    prepare_frame,
+    tile_rays,
+    untile_image,
+)
+from gaussian_ray_tracing_tpu.parallel.mesh import GAUSS_AXIS, RAY_AXIS
+from gaussian_ray_tracing_tpu.scene.gaussians import GaussianScene
+
+shard_map = jax.shard_map
+
+
+def _pad_leading(x, mult, **pad_kw):
+    n = x.shape[0]
+    pad = (-n) % mult
+    if pad == 0:
+        return x, n
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths, **pad_kw), n
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "ray_chunk"))
+def render_rays_sharded_oracle(
+    scene: GaussianScene,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    config: RenderConfig,
+    mesh: Mesh,
+    ray_chunk: int = 1024,
+):
+    """Exact oracle render with rays sharded over mesh axis 'rays'."""
+    n_dev = mesh.shape[RAY_AXIS]
+    R = origins.shape[0]
+    origins_p, _ = _pad_leading(origins, n_dev * ray_chunk)
+    dirs_p, _ = _pad_leading(dirs, n_dev * ray_chunk)
+
+    def local(scene_l, o_l, d_l):
+        return render_rays_oracle(scene_l, o_l, d_l, config, ray_chunk=ray_chunk)
+
+    rgb, density, t_final = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        check_vma=False,
+    )(scene, origins_p, dirs_p)
+    return rgb[:R], density[:R], t_final[:R]
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "tile_chunk", "pair_capacity"))
+def render_tiled_sharded(
+    scene: GaussianScene,
+    camera: Camera,
+    config: RenderConfig,
+    mesh: Mesh,
+    tile_chunk: int = 16,
+    pair_capacity: int | None = None,
+):
+    """Tiled fast-path render, image tiles sharded over 'rays'.
+
+    Binning is computed replicated (cheap relative to the march); the march
+    runs one tile shard per device. Differentiable end to end: gradients of
+    the replicated gaussian features are psum'd across the ray shards by
+    shard_map's transpose.
+    """
+    if pair_capacity is None:
+        pair_capacity = default_pair_capacity(scene.num_gaussians)
+    n_dev = mesh.shape[RAY_AXIS]
+
+    feats, binning, dirs_t, valid = prepare_frame(scene, camera, config, pair_capacity)
+    T = dirs_t.shape[0]
+    cand_p, _ = _pad_leading(binning.cand, n_dev, constant_values=-1)
+    dirs_p, _ = _pad_leading(dirs_t, n_dev)
+
+    def local(cand_l, dirs_l, eye_l, feats_l):
+        return march_frame(cand_l, dirs_l, eye_l, feats_l, config, tile_chunk)
+
+    rgb_t, alpha_t = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(), P()),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+        check_vma=False,
+    )(cand_p, dirs_p, camera.eye, feats)
+    rgb_t, alpha_t = rgb_t[:T], alpha_t[:T]
+
+    H, W = camera.height, camera.width
+    rgb = untile_image(rgb_t.astype(jnp.float32), H, W, config.tile_w, config.tile_h)
+    alpha = untile_image(
+        alpha_t.astype(jnp.float32)[..., None], H, W, config.tile_w, config.tile_h
+    )[..., 0]
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    alpha = jnp.where(valid, alpha, 0.0)
+    return {"rgb": rgb, "alpha": alpha}
+
+
+def combine_slab_segments(rgb_slabs: jnp.ndarray, t_slabs: jnp.ndarray):
+    """Ordered front-to-back fold of per-slab (radiance, transmittance).
+
+    rgb_slabs: (S, ..., 3) per-slab radiance composited with carry-in T = 1.
+    t_slabs:   (S, ...) per-slab final transmittance.
+    The recurrence C += (prod of earlier T) * C_i is exact because radiance
+    is linear in the carry-in transmittance.
+    """
+    t_excl = jnp.concatenate([jnp.ones_like(t_slabs[:1]), jnp.cumprod(t_slabs, 0)[:-1]], 0)
+    rgb = jnp.sum(t_excl[..., None] * rgb_slabs, axis=0)
+    t_total = jnp.prod(t_slabs, axis=0)
+    return rgb, t_total
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "ray_chunk"))
+def render_gaussian_sharded(
+    scene: GaussianScene,
+    camera: Camera,
+    config: RenderConfig,
+    mesh: Mesh,
+    ray_chunk: int = 1024,
+):
+    """Full-frame render with gaussians depth-slab sharded over 'gauss'.
+
+    Scales scenes beyond one chip's HBM: each device holds only its slab.
+    Rays are also sharded over 'rays' when that axis exists in the mesh.
+    Within-slab ordering is each ray's exact entry-depth order (oracle
+    semantics); cross-slab ordering is by view depth. Early termination is
+    applied per-slab and in the fold (contributions after global
+    T < min_transmittance are bounded by min_transmittance).
+    """
+    n_slab = mesh.shape[GAUSS_AXIS]
+    have_ray_axis = RAY_AXIS in mesh.shape
+    ray_spec = P(RAY_AXIS) if have_ray_axis else P()
+    n_ray = mesh.shape.get(RAY_AXIS, 1)
+
+    # depth-sort gaussians into contiguous slabs (padding sorts last: it has
+    # opacity 0 and is invisible regardless of slab)
+    U, V, W = camera.uvw_frame()
+    w_hat = W / jnp.maximum(jnp.linalg.norm(W), 1e-12)
+    depth = (scene.means - camera.eye) @ w_hat
+    order = jnp.argsort(depth)
+    sorted_scene = GaussianScene(
+        means=scene.means[order],
+        scales=scene.scales[order],
+        quats=scene.quats[order],
+        opacities=scene.opacities[order],
+        sh=scene.sh[order],
+        num_active=scene.num_gaussians,
+    )
+
+    origins, dirs, valid = generate_rays(camera, config)
+    H, W_px = dirs.shape[:2]
+    o_flat = origins.reshape(-1, 3)
+    d_flat = dirs.reshape(-1, 3)
+    R = o_flat.shape[0]
+    o_p, _ = _pad_leading(o_flat, n_ray * ray_chunk)
+    d_p, _ = _pad_leading(d_flat, n_ray * ray_chunk)
+
+    def local(scene_l, o_l, d_l):
+        rgb_l, _, t_l = render_rays_oracle(scene_l, o_l, d_l, config, ray_chunk=ray_chunk)
+        # gather all slabs of my ray shard, fold in slab order
+        rgb_all = jax.lax.all_gather(rgb_l, GAUSS_AXIS)  # (S, R_l, 3)
+        t_all = jax.lax.all_gather(t_l, GAUSS_AXIS)  # (S, R_l)
+        rgb, t_total = combine_slab_segments(rgb_all, t_all)
+        return rgb, 1.0 - t_total
+
+    scene_spec = GaussianScene(
+        means=P(GAUSS_AXIS), scales=P(GAUSS_AXIS), quats=P(GAUSS_AXIS),
+        opacities=P(GAUSS_AXIS), sh=P(GAUSS_AXIS), num_active=scene.num_gaussians,
+    )
+    rgb, density = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(scene_spec, ray_spec, ray_spec),
+        out_specs=(ray_spec, ray_spec),
+        check_vma=False,
+    )(sorted_scene, o_p, d_p)
+    rgb = jnp.clip(rgb[:R].reshape(H, W_px, 3), 0.0, 1.0)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    density = jnp.where(valid, density[:R].reshape(H, W_px), 0.0)
+    return {"rgb": rgb, "alpha": density}

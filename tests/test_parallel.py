@@ -1,0 +1,103 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (BASELINE config 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from gaussian_ray_tracing_tpu.cameras import Camera, generate_rays
+from gaussian_ray_tracing_tpu.config import RenderConfig
+from gaussian_ray_tracing_tpu.models.gaussian_model import GaussianModel
+from gaussian_ray_tracing_tpu.models.oracle import render_oracle, render_rays_oracle
+from gaussian_ray_tracing_tpu.models.tiled import render_tiled
+from gaussian_ray_tracing_tpu.parallel.mesh import make_mesh, make_mesh_2d, GAUSS_AXIS
+from gaussian_ray_tracing_tpu.parallel.sharded import (
+    render_gaussian_sharded,
+    render_rays_sharded_oracle,
+    render_tiled_sharded,
+)
+from gaussian_ray_tracing_tpu.scene.synthetic import random_scene
+from gaussian_ray_tracing_tpu.train.trainer import TrainState, make_train_step, default_optimizer
+from gaussian_ray_tracing_tpu.utils.image import psnr
+
+CFG = RenderConfig(hit_multiplicity=1)
+CAM = Camera.create(eye=(0, 0.3, 2.7), lookat=(0, 0, 0), width=64, height=48)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    # small: multi-device tests run 8 virtual devices on very few host cores
+    return random_scene(600, seed=21, mean_scale=0.03, density_scaling=False)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_ray_sharded_oracle_matches_single(scene):
+    origins, dirs, _ = generate_rays(CAM, CFG)
+    o, d = origins.reshape(-1, 3), dirs.reshape(-1, 3)
+    ref_rgb, ref_den, _ = render_rays_oracle(scene, o, d, CFG)
+    mesh = make_mesh(8)
+    rgb, den, _ = render_rays_sharded_oracle(scene, o, d, CFG, mesh)
+    # different chunking => different float fusion; hits exactly at the
+    # alpha_min / min_transmittance gates may flip, so compare statistically
+    assert psnr(np.asarray(ref_rgb), np.asarray(rgb)) > 55.0
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref_rgb), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(den), np.asarray(ref_den), atol=2e-2)
+
+
+def test_tiled_sharded_matches_single(scene):
+    ref = render_tiled(scene, CAM, CFG)
+    mesh = make_mesh(8)
+    out = render_tiled_sharded(scene, CAM, CFG, mesh)
+    assert psnr(np.asarray(ref["rgb"]), np.asarray(out["rgb"])) > 55.0
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=2e-2
+    )
+
+
+def test_gaussian_slab_sharded_close_to_oracle(scene):
+    ref = render_oracle(scene, CAM, CFG)
+    mesh = make_mesh(8, axis=GAUSS_AXIS)
+    out = render_gaussian_sharded(scene, CAM, CFG, mesh)
+    p = psnr(np.asarray(ref["rgb"]), np.asarray(out["rgb"]))
+    assert p >= 40.0, f"slab-sharded vs oracle PSNR {p:.1f}"
+
+
+def test_gaussian_slab_2d_mesh(scene):
+    mesh2 = make_mesh_2d(4, 2)
+    out = render_gaussian_sharded(scene, CAM, CFG, mesh2)
+    ref = render_oracle(scene, CAM, CFG)
+    p = psnr(np.asarray(ref["rgb"]), np.asarray(out["rgb"]))
+    assert p >= 40.0, f"2d-mesh PSNR {p:.1f}"
+
+
+def test_sharded_train_step_matches_single_device(scene):
+    # keep the per-shard march tiny: 8 virtual devices share a few host
+    # cores, and XLA's CPU collective rendezvous aborts if shards take
+    # longer than its 40 s timeout to reach the psum
+    cfg = CFG.replace(max_per_tile=128, big_capacity=16)
+    cam = Camera.create(eye=(0, 0.3, 2.7), lookat=(0, 0, 0), width=64, height=32)
+    model = GaussianModel.from_scene(
+        random_scene(100, seed=5, mean_scale=0.05, density_scaling=False)
+    )
+    target = jnp.zeros((cam.height, cam.width, 3)).at[:, :, 0].set(0.5)
+    tx = default_optimizer(1e-2)
+
+    step_single = make_train_step(cfg, tx, mesh=None)
+    step_sharded = make_train_step(cfg, tx, mesh=make_mesh(8))
+
+    s0 = TrainState.create(model, tx)
+    s1, m1 = step_single(s0, cam, target)
+    s2, m2 = step_sharded(s0, cam, target)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s1.params.means), np.asarray(s2.params.means), atol=1e-4
+    )
+    # loss decreases over a few steps
+    s, prev = s2, float(m2["loss"])
+    for _ in range(3):
+        s, m = step_sharded(s, cam, target)
+    assert float(m["loss"]) < prev

@@ -1,0 +1,202 @@
+"""Renderer integration tests: oracle sanity, tiled-vs-oracle parity, mesh modes."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gaussian_ray_tracing_tpu.cameras import Camera
+from gaussian_ray_tracing_tpu.config import CameraModel, MeshType, RenderConfig
+from gaussian_ray_tracing_tpu.models.oracle import render_oracle, render_rays_oracle
+from gaussian_ray_tracing_tpu.models.tiled import render_tiled, tile_rays, untile_image
+from gaussian_ray_tracing_tpu.models.mesh_tracer import render_with_mesh
+from gaussian_ray_tracing_tpu.models.renderer import GaussianRayTracer, render
+from gaussian_ray_tracing_tpu.scene.gaussians import GaussianScene
+from gaussian_ray_tracing_tpu.scene.mesh import make_plane
+from gaussian_ray_tracing_tpu.scene.synthetic import random_scene
+from gaussian_ray_tracing_tpu.utils.image import psnr
+
+
+def single_gaussian_scene(pos=(0.0, 0.0, 0.0), scale=0.3, opacity=0.9, color_dc=2.0):
+    sh = np.zeros((1, 16, 3))
+    sh[0, 0] = color_dc
+    return GaussianScene.from_activated(
+        means=np.array([pos], np.float32),
+        scales=np.full((1, 3), scale, np.float32),
+        quats=np.array([[1.0, 0, 0, 0]], np.float32),
+        opacities=np.array([opacity], np.float32),
+        sh=sh,
+        pad_to=256,
+    )
+
+
+CFG = RenderConfig(hit_multiplicity=1)
+CAM = Camera.create(eye=(0, 0, 3), lookat=(0, 0, 0), width=64, height=64)
+
+
+class TestOracle:
+    def test_single_gaussian_center_bright(self):
+        scene = single_gaussian_scene()
+        out = render_oracle(scene, CAM, CFG)
+        rgb = np.asarray(out["rgb"])
+        assert rgb[32, 32].min() > 0.3  # center covered
+        assert rgb[0, 0].max() < 1e-3  # corner empty
+        assert np.asarray(out["alpha"])[32, 32] > 0.5
+
+    def test_alpha_analytic(self):
+        """Center-ray alpha equals min(0.99, opacity*resp) for one gaussian."""
+        scene = single_gaussian_scene(opacity=0.7)
+        cfg = CFG
+        origins = jnp.array([[0.0, 0.0, 3.0]])
+        dirs = jnp.array([[0.0, 0.0, -1.0]])
+        rgb, density, tf = render_rays_oracle(scene, origins, dirs, cfg)
+        # ray passes through center: resp = 1 -> alpha = 0.7
+        np.testing.assert_allclose(density[0], 0.7, rtol=1e-5)
+
+    def test_hit_multiplicity_two(self):
+        scene = single_gaussian_scene(opacity=0.7)
+        cfg = RenderConfig(hit_multiplicity=2)
+        origins = jnp.array([[0.0, 0.0, 3.0]])
+        dirs = jnp.array([[0.0, 0.0, -1.0]])
+        _, density, _ = render_rays_oracle(scene, origins, dirs, cfg)
+        np.testing.assert_allclose(density[0], 1 - 0.3**2, rtol=1e-5)
+
+    def test_depth_ordering(self):
+        """Nearer gaussian composites first: front red over back green."""
+        sh = np.zeros((2, 16, 3))
+        sh[0, 0] = [10, -10, -10]  # red, at z=1 (closer to eye at z=3)
+        sh[1, 0] = [-10, 10, -10]  # green, at z=-1
+        scene = GaussianScene.from_activated(
+            means=np.array([[0, 0, 1], [0, 0, -1]], np.float32),
+            scales=np.full((2, 3), 0.2, np.float32),
+            quats=np.array([[1, 0, 0, 0]] * 2, np.float32),
+            opacities=np.array([0.6, 0.9], np.float32),
+            sh=sh,
+            pad_to=256,
+        )
+        origins = jnp.array([[0.0, 0.0, 3.0]])
+        dirs = jnp.array([[0.0, 0.0, -1.0]])
+        rgb, _, _ = render_rays_oracle(scene, origins, dirs, CFG)
+        # red contributes at T=1*0.6; green at T=0.4*0.9
+        assert rgb[0][0] > rgb[0][1] > 0.0
+
+    def test_behind_camera_invisible(self):
+        scene = single_gaussian_scene(pos=(0, 0, 10))  # behind eye at z=3 looking -z
+        out = render_oracle(scene, CAM, CFG)
+        assert float(np.asarray(out["rgb"]).max()) < 1e-5
+
+    def test_fisheye_render(self):
+        scene = single_gaussian_scene()
+        cfg = CFG.replace(camera_model=CameraModel.FISHEYE)
+        out = render_oracle(scene, CAM, cfg)
+        rgb = np.asarray(out["rgb"])
+        assert rgb[32, 32].min() > 0.2
+        np.testing.assert_allclose(rgb[0, 0], 0.0)  # blanked corner
+
+
+class TestTiling:
+    def test_tile_untile_roundtrip(self):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.normal(size=(37, 53, 3)), jnp.float32)
+        t = tile_rays(img, 16, 16)
+        back = untile_image(t, 37, 53, 16, 16)
+        np.testing.assert_allclose(back, img, atol=1e-6)
+
+
+class TestTiledParity:
+    @pytest.mark.parametrize("camera_model", [CameraModel.PINHOLE, CameraModel.FISHEYE])
+    @pytest.mark.parametrize("mult", [1, 2])
+    def test_tiled_matches_oracle(self, camera_model, mult):
+        # dense volumetric scene: candidates per tile exceed the default cap,
+        # so raise it (overflow drops the depth-tail, which would cost PSNR)
+        scene = random_scene(2000, seed=7, extent=1.0)
+        cam = Camera.create(eye=(0, 0.4, 2.6), lookat=(0, 0, 0), width=96, height=64)
+        cfg = RenderConfig(
+            camera_model=camera_model, hit_multiplicity=mult, max_per_tile=2048
+        )
+        ref = render_oracle(scene, cam, cfg)
+        out = render_tiled(scene, cam, cfg, return_aux=True)
+        assert int(out["aux"]["n_dropped"]) == 0
+        p = psnr(np.asarray(ref["rgb"]), np.asarray(out["rgb"]))
+        assert p >= 40.0, f"tiled vs oracle PSNR {p:.1f} dB < 40"
+
+    def test_tiled_sh_degree3(self):
+        scene = random_scene(1000, seed=8)
+        cam = Camera.create(eye=(0, 0, 2.6), lookat=(0, 0, 0), width=64, height=48)
+        cfg = RenderConfig(sh_degree=3, hit_multiplicity=1, max_per_tile=2048)
+        ref = render_oracle(scene, cam, cfg)
+        out = render_tiled(scene, cam, cfg)
+        p = psnr(np.asarray(ref["rgb"]), np.asarray(out["rgb"]))
+        assert p >= 40.0, f"PSNR {p:.1f}"
+
+    def test_key_order_mode(self):
+        """'key' ordering (global per-tile depth order, no per-ray window
+        re-sort) is the fast approximate mode: it must stay reasonable on a
+        dense volumetric scene; the default 'window' mode carries the >=40 dB
+        parity requirement (tests above)."""
+        scene = random_scene(1500, seed=9, mean_scale=0.012)
+        cam = Camera.create(eye=(0, 0.2, 2.6), lookat=(0, 0, 0), width=96, height=64)
+        cfg = RenderConfig(hit_multiplicity=1, order="key", max_per_tile=2048)
+        ref = render_oracle(scene, cam, cfg)
+        out = render_tiled(scene, cam, cfg)
+        p = psnr(np.asarray(ref["rgb"]), np.asarray(out["rgb"]))
+        assert p >= 30.0, f"key-order PSNR {p:.1f}"
+
+
+class TestMeshModes:
+    def _setup(self):
+        scene = single_gaussian_scene(pos=(0.0, 0.0, -1.0), scale=0.25, opacity=0.95)
+        cam = Camera.create(eye=(0, 0, 3), lookat=(0, 0, 0), width=48, height=48)
+        mesh = make_plane(position=(0.0, 0.0, 1.0), width=4.0, height=4.0)
+        return scene, cam, mesh
+
+    def test_normal_mode_shows_normal_color(self):
+        scene, cam, mesh = self._setup()
+        cfg = CFG.replace(mesh_type=MeshType.NORMAL)
+        out = render_with_mesh(scene, mesh, cam, cfg)
+        rgb = np.asarray(out["rgb"])
+        # plane normal +z -> color (0.5, 0.5, 1.0) where no gaussian in front
+        np.testing.assert_allclose(rgb[2, 2], [0.5, 0.5, 1.0], atol=0.05)
+
+    def test_mirror_mode_runs(self):
+        scene, cam, mesh = self._setup()
+        cfg = CFG.replace(mesh_type=MeshType.MIRROR)
+        out = render_with_mesh(scene, mesh, cam, cfg)
+        assert np.all(np.isfinite(np.asarray(out["rgb"])))
+
+    def test_mirror_reflects_gaussian(self):
+        # gaussian BEHIND the camera; mirror plane in front reflects it back
+        scene = single_gaussian_scene(pos=(0.0, 0.0, 7.0), scale=0.4, opacity=0.95)
+        cam = Camera.create(eye=(0, 0, 3), lookat=(0, 0, 0), width=48, height=48)
+        mesh = make_plane(position=(0.0, 0.0, -1.0), width=6.0, height=6.0)
+        cfg = CFG.replace(mesh_type=MeshType.MIRROR)
+        out = render_with_mesh(scene, mesh, cam, cfg)
+        direct = render_oracle(scene, cam, cfg)
+        # without the mirror the gaussian is invisible
+        assert float(np.asarray(direct["rgb"]).max()) < 1e-4
+        assert float(np.asarray(out["rgb"])[24, 24].max()) > 0.1
+
+    def test_glass_mode_runs(self):
+        scene, cam, mesh = self._setup()
+        cfg = CFG.replace(mesh_type=MeshType.GLASS)
+        out = render_with_mesh(scene, mesh, cam, cfg)
+        rgb = np.asarray(out["rgb"])
+        assert np.all(np.isfinite(rgb))
+        # glass is transparent: gaussian behind it still visible at center
+        assert rgb[24, 24].max() > 0.1
+
+
+class TestRuntimeAPI:
+    def test_tracer_class(self):
+        scene = random_scene(500, seed=3)
+        tracer = GaussianRayTracer(scene=scene, config=CFG)
+        tracer.set_size(64, 48)
+        idx = tracer.create_plane()
+        assert len(tracer.primitives) == 1
+        tracer.set_render_type("normal")
+        out = tracer.render()
+        assert np.asarray(out["rgb"]).shape == (48, 64, 3)
+        tracer.remove_primitive(idx)
+        out2 = tracer.render(method="tiled")
+        assert np.asarray(out2["rgb"]).shape == (48, 64, 3)
+        frame = tracer.render_rgb8(method="tiled")
+        assert frame.dtype == np.uint8
