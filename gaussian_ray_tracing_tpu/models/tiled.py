@@ -25,13 +25,12 @@ import jax.numpy as jnp
 
 from gaussian_ray_tracing_tpu.cameras import Camera, generate_rays
 from gaussian_ray_tracing_tpu.config import RenderConfig
-from gaussian_ray_tracing_tpu.ops.composite import composite_depth_ordered
 from gaussian_ray_tracing_tpu.ops.response import (
     adaptive_radius,
     canonical_frames,
     ray_ellipsoid_span,
 )
-from gaussian_ray_tracing_tpu.ops.sh import eval_sh, num_coeffs
+from gaussian_ray_tracing_tpu.ops.sh import SH_C0, num_coeffs, sh_basis
 from gaussian_ray_tracing_tpu.ops.tiles import TileBinning, bin_tiles, project_footprints
 from gaussian_ray_tracing_tpu.scene.gaussians import GaussianScene
 
@@ -61,47 +60,71 @@ def march_tile_chunk(
     cand: jnp.ndarray,  # (Tc, M_cap)
     dirs: jnp.ndarray,  # (Tc, R, 3)
     eye: jnp.ndarray,  # (3,)
-    feats: dict,  # per-gaussian arrays, see render_tiled
+    feats: dict,  # per-gaussian arrays, see prepare_frame
     config: RenderConfig,
 ):
-    """March a chunk of tiles through their candidate lists."""
+    """March a chunk of tiles through their candidate lists.
+
+    TPU layout note: every (tile, ray, candidate) intermediate is a rank-3
+    (Tc, R, mc) array whose last axis maps onto the 128 vector lanes. The
+    xyz vector math is scalarized into separate per-component arrays -- a
+    trailing length-3 axis would be lane-padded to 128 by XLA, a 42x memory
+    blowup that makes the frame HBM-bound by orders of magnitude. Colors
+    contract over candidates / SH coefficients with batched matmuls (MXU)
+    instead of carrying per-hit (..., 3) color tensors.
+    """
     Tc, m_cap = cand.shape
     R = dirs.shape[1]
     mc = min(config.march_chunk, m_cap)
     n_steps = -(-m_cap // mc)
     dtype = jnp.dtype(config.compute_dtype)
-    dirs_c = dirs.astype(dtype)
+
+    dx = dirs[..., 0].astype(dtype)  # (Tc, R)
+    dy = dirs[..., 1].astype(dtype)
+    dz = dirs[..., 2].astype(dtype)
+    live = dx * dx + dy * dy + dz * dz > 0.01  # |dir| > 0.1 guard (tracer.cu:59)
+    eye_c = eye.astype(dtype)
 
     sh_deg = config.sh_degree
-    if sh_deg > 0:
-        # view-dir SH colors need normalized dirs; dirs are already unit
-        pass
+    basis = sh_basis(dx, dy, dz, sh_deg) if sh_deg > 0 else None  # (Tc, R, K)
 
-    def step(carry, idx_chunk):
-        t_carry, rgb_acc = carry
-        ids = idx_chunk  # (Tc, mc)
-        safe = jnp.maximum(ids, 0)
+    def step(carry, ids):
+        t_carry, racc, gacc, bacc = carry  # (Tc, R) each
+        safe = jnp.maximum(ids, 0)  # (Tc, mc)
         present = ids >= 0
 
-        mu = feats["means"][safe].astype(dtype)  # (Tc, mc, 3)
-        Mg = feats["M"][safe].astype(dtype)  # (Tc, mc, 3, 3)
-        op = feats["opacities"][safe].astype(dtype)  # (Tc, mc)
-        rad = feats["radius"][safe].astype(dtype)  # (Tc, mc)
+        m9 = feats["M9"][safe].astype(dtype)  # (Tc, mc, 9) rows of S^-1 R^T
+        m = [m9[..., k] for k in range(9)]
+        ox = eye_c[0] - feats["mx"][safe].astype(dtype)  # (Tc, mc)
+        oy = eye_c[1] - feats["my"][safe].astype(dtype)
+        oz = eye_c[2] - feats["mz"][safe].astype(dtype)
+        op = feats["opacities"][safe].astype(dtype)
+        rad = feats["radius"][safe].astype(dtype)
 
-        # o_g shared across rays in a tile (primary rays share the eye)
-        o_g = jnp.einsum("tmij,tmj->tmi", Mg, eye.astype(dtype) - mu)  # (Tc, mc, 3)
-        d_g = jnp.einsum("tmij,trj->trmi", Mg, dirs_c)  # (Tc, R, mc, 3)
-        dd = jnp.sum(d_g * d_g, axis=-1)  # (Tc, R, mc)
-        od = jnp.einsum("tmi,trmi->trm", o_g, d_g)
-        oo = jnp.sum(o_g * o_g, axis=-1)[:, None, :]  # (Tc, 1, mc)
+        # canonical-space origin offset o_g = M (eye - mu), shared by the
+        # tile's rays (primary rays share the eye)
+        ogx = m[0] * ox + m[1] * oy + m[2] * oz  # (Tc, mc)
+        ogy = m[3] * ox + m[4] * oy + m[5] * oz
+        ogz = m[6] * ox + m[7] * oy + m[8] * oz
+
+        # d_g = M d per (ray, candidate): rank-1 outer-product accumulation
+        ex_r = lambda a: a[:, :, None]  # (Tc, R) -> (Tc, R, 1)
+        ex_m = lambda a: a[:, None, :]  # (Tc, mc) -> (Tc, 1, mc)
+        dgx = ex_m(m[0]) * ex_r(dx) + ex_m(m[1]) * ex_r(dy) + ex_m(m[2]) * ex_r(dz)
+        dgy = ex_m(m[3]) * ex_r(dx) + ex_m(m[4]) * ex_r(dy) + ex_m(m[5]) * ex_r(dz)
+        dgz = ex_m(m[6]) * ex_r(dx) + ex_m(m[7]) * ex_r(dy) + ex_m(m[8]) * ex_r(dz)
+
+        dd = dgx * dgx + dgy * dgy + dgz * dgz  # (Tc, R, mc)
+        od = ex_m(ogx) * dgx + ex_m(ogy) * dgy + ex_m(ogz) * dgz
+        oo = ex_m(ogx * ogx + ogy * ogy + ogz * ogz)  # (Tc, 1, mc)
 
         t_star = -od / jnp.maximum(dd, 1e-6)
-        pp = oo + 2.0 * t_star * od + t_star * t_star * dd  # |o_g + t* d_g|^2
+        pp = oo + t_star * (2.0 * od + t_star * dd)  # |o_g + t* d_g|^2
         resp = jnp.exp(-0.5 * jnp.maximum(pp, 0.0))
-        alpha = jnp.minimum(config.alpha_clamp, resp * op[:, None, :])
+        alpha = jnp.minimum(config.alpha_clamp, resp * ex_m(op))
 
         # iso-ellipsoid event time within [t_min, t_max] (oracle hit rule)
-        cq = oo - (rad * rad)[:, None, :]
+        cq = oo - ex_m(rad * rad)
         disc = od * od - dd * cq
         hit = disc >= 0.0
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -110,49 +133,65 @@ def march_tile_chunk(
         t_exit = (-od + sq) * inv_dd
         t_event = jnp.where(t_entry < config.t_min, t_exit, t_entry)
         in_window = (t_event >= config.t_min) & (t_event <= config.t_max)
-        live = jnp.sum(dirs_c * dirs_c, axis=-1) > 0.01  # (Tc, R)
-        valid = present[:, None, :] & hit & in_window & live[..., None]
+        valid = ex_m(present) & hit & in_window & live[..., None]
 
-        if sh_deg == 0:
-            color_g = eval_sh(feats["sh"][safe].astype(dtype), dirs_c[:, :1], 0)
-            # (Tc, 1, 3) broadcast against mc? eval_sh consumed dirs (Tc,1,3) and
-            # sh (Tc,mc,K,3) -> (Tc, mc, 3); expand ray axis:
-            colors = jnp.broadcast_to(color_g[:, None], (Tc, R, ids.shape[1], 3))
+        # gated effective alpha (composite_depth_ordered semantics, inlined
+        # so the weights stay rank-3 (Tc, R, mc))
+        gate = valid & (alpha > config.alpha_min)
+        if config.hit_multiplicity == 1:
+            a_eff = alpha
         else:
-            sh_g = feats["sh"][safe].astype(dtype)  # (Tc, mc, K, 3)
-            colors = eval_sh(sh_g[:, None], dirs_c[:, :, None, :], sh_deg)
+            a_eff = 1.0 - (1.0 - alpha) ** config.hit_multiplicity
+        a = jnp.where(gate, a_eff, 0.0)
 
         if config.order == "window":
             # per-ray re-sort of this chunk by exact event t: bounded-window
-            # exact ordering (inversions wider than march_chunk remain)
+            # exact ordering (inversions wider than march_chunk remain).
+            # Weights are computed in sorted order then scattered back so the
+            # color contraction below stays in candidate order.
             sort_key = jnp.where(valid, t_event, jnp.inf)
-            ord_idx = jnp.argsort(sort_key, axis=-1)
-            alpha = jnp.take_along_axis(alpha, ord_idx, axis=-1)
-            valid = jnp.take_along_axis(valid, ord_idx, axis=-1)
-            colors = jnp.take_along_axis(
-                jnp.broadcast_to(colors, alpha.shape + (3,)), ord_idx[..., None], axis=-2
-            )
+            perm = jnp.argsort(sort_key, axis=-1)
+            a_s = jnp.take_along_axis(a, perm, axis=-1)
+            p_incl = jnp.cumprod(1.0 - a_s, axis=-1) * t_carry[..., None]
+            p_excl = jnp.concatenate([t_carry[..., None], p_incl[..., :-1]], axis=-1)
+            w_s = a_s * p_excl * (p_excl > config.min_transmittance)
+            inv_perm = jnp.argsort(perm, axis=-1)
+            w = jnp.take_along_axis(w_s, inv_perm, axis=-1)
+        else:
+            p_incl = jnp.cumprod(1.0 - a, axis=-1) * t_carry[..., None]
+            p_excl = jnp.concatenate([t_carry[..., None], p_incl[..., :-1]], axis=-1)
+            w = a * p_excl * (p_excl > config.min_transmittance)
 
-        rgb_seg, _, t_next = composite_depth_ordered(
-            alpha,
-            colors,
-            valid,
-            alpha_min=config.alpha_min,
-            min_transmittance=config.min_transmittance,
-            hit_multiplicity=config.hit_multiplicity,
-            t0=t_carry,
-        )
-        return (t_next, rgb_acc + rgb_seg), None
+        # sequential early-termination transmittance (see ops/composite.py)
+        below = p_incl <= config.min_transmittance
+        frozen = jnp.max(jnp.where(below, p_incl, -jnp.inf), axis=-1)
+        t_next = jnp.where(jnp.any(below, axis=-1), frozen, p_incl[..., -1])
+        t_next = jnp.where(t_carry > config.min_transmittance, t_next, t_carry)
+
+        # per-channel color contraction over candidates
+        accs = []
+        for ch, acc in (("sh_r", racc), ("sh_g", gacc), ("sh_b", bacc)):
+            shc = feats[ch][safe].astype(dtype)  # (Tc, mc, K)
+            if sh_deg == 0:
+                col = jnp.maximum(0.5 + SH_C0 * shc[..., 0], 0.0)  # (Tc, mc)
+                accs.append(acc + jnp.einsum("trm,tm->tr", w, col))
+            else:
+                col = jnp.maximum(0.5 + jnp.einsum("trk,tmk->trm", basis, shc), 0.0)
+                accs.append(acc + jnp.sum(w * col, axis=-1))
+
+        return (t_next, *accs), None
 
     pad = n_steps * mc - m_cap
     cand_p = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1) if pad else cand
     chunks = jnp.transpose(cand_p.reshape(Tc, n_steps, mc), (1, 0, 2))
     init = (
         jnp.ones((Tc, R), dtype),
-        jnp.zeros((Tc, R, 3), dtype),
+        jnp.zeros((Tc, R), dtype),
+        jnp.zeros((Tc, R), dtype),
+        jnp.zeros((Tc, R), dtype),
     )
-    (t_final, rgb), _ = jax.lax.scan(step, init, chunks)
-    return rgb, 1.0 - t_final
+    (t_final, r, g, b), _ = jax.lax.scan(step, init, chunks)
+    return jnp.stack([r, g, b], axis=-1), 1.0 - t_final
 
 
 def prepare_frame(
@@ -186,11 +225,17 @@ def prepare_frame(
 
     k = num_coeffs(config.sh_degree)
     feats = {
-        "means": scene.means,
-        "M": M,
+        # per-component / flattened layouts: gathers of these stay free of
+        # trailing short axes (see march_tile_chunk layout note)
+        "mx": scene.means[:, 0],
+        "my": scene.means[:, 1],
+        "mz": scene.means[:, 2],
+        "M9": M.reshape(-1, 9),
         "opacities": scene.opacities,
         "radius": radius,
-        "sh": scene.sh[:, :k],
+        "sh_r": scene.sh[:, :k, 0],
+        "sh_g": scene.sh[:, :k, 1],
+        "sh_b": scene.sh[:, :k, 2],
     }
     cand = merge_big_into_tiles(binning.cand, binning.big, fp.depth)
     binning = binning._replace(cand=cand)

@@ -75,3 +75,45 @@ def eval_sh(sh: jnp.ndarray, dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
             + SH_C3_6 * x * (xx - 3.0 * yy) * sh[..., 15, :]
         )
     return jnp.maximum(L, 0.0)
+
+
+def sh_basis(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """Factored SH basis stack: radiance_c = max(0, 0.5 + sum_k b_k * sh_{k,c}).
+
+    Args:
+      x, y, z: direction components, any common shape (...,).
+      degree: static int in [0, 3].
+
+    Returns:
+      (..., K) basis values with K = (degree+1)^2, including the band
+      constants and signs of eval_sh (shaders/tracer.cuh:216-258), so a
+      single contraction over K against per-channel coefficient arrays
+      reproduces eval_sh exactly. This layout keeps TPU tensors free of
+      trailing length-3 axes (see models/tiled.py).
+    """
+    if not 0 <= degree <= 3:
+        raise ValueError(f"sh degree must be in [0,3], got {degree}")
+    b = [jnp.full(x.shape, SH_C0, x.dtype)]
+    if degree >= 1:
+        b += [-SH_C1 * y, SH_C1 * z, -SH_C1 * x]
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, xz, yz = x * y, x * z, y * z
+        b += [
+            SH_C2_0 * xy,
+            SH_C2_1 * yz,
+            SH_C2_2 * (2.0 * zz - xx - yy),
+            SH_C2_3 * xz,
+            SH_C2_4 * (xx - yy),
+        ]
+    if degree >= 3:
+        b += [
+            SH_C3_0 * y * (3.0 * xx - yy),
+            SH_C3_1 * xy * z,
+            SH_C3_2 * y * (4.0 * zz - xx - yy),
+            SH_C3_3 * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            SH_C3_4 * x * (4.0 * zz - xx - yy),
+            SH_C3_5 * z * (xx - yy),
+            SH_C3_6 * x * (xx - 3.0 * yy),
+        ]
+    return jnp.stack(b, axis=-1)
