@@ -3,6 +3,13 @@ reference's default resolution, src/main.cpp:65-66) on a synthetic
 trained-like 100k-gaussian scene (no trained PLY ships with the reference;
 README.md:9 downloads one externally).
 
+Methodology: K full frames with per-frame camera motion are rendered inside
+ONE jitted fori_loop and a scalar reduction is fetched; subtracting a
+1-frame dispatch and dividing by K-1 removes both the host->device dispatch
+overhead (tens of ms through tunneled transports, where
+block_until_ready() does not actually block) and any risk of timing
+unexecuted async work.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is the fraction of the BASELINE.json north-star target of
 1 Grays/s per chip (the reference publishes no numbers of its own,
@@ -15,6 +22,7 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 
 from gaussian_ray_tracing_tpu.cameras import Camera
 from gaussian_ray_tracing_tpu.config import RenderConfig
@@ -23,31 +31,46 @@ from gaussian_ray_tracing_tpu.scene.synthetic import random_scene
 
 WIDTH, HEIGHT = 1280, 720
 N_GAUSSIANS = 100_000
+PAIR_CAPACITY = 2_000_000
 NORTH_STAR_MRAYS = 1000.0  # 1 Grays/s/chip (BASELINE.json)
 
 
 def main():
-    config = RenderConfig(hit_multiplicity=1)
-    scene = random_scene(N_GAUSSIANS, seed=0)
-    camera = Camera.create(
-        eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0), width=WIDTH, height=HEIGHT
-    )
+    # parity-grade config: window-ordered march (PSNR >= 40 vs the exact
+    # oracle, the BASELINE "forward parity" bar); order="key" is ~1.7x
+    # faster at sorted-splatting quality (~29 dB on this scene)
+    config = RenderConfig(hit_multiplicity=1, order="window", march_chunk=256)
+    method = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    scene = jax.device_put(random_scene(N_GAUSSIANS, seed=0))
 
-    method = "pallas" if config.use_pallas else "tiled"
-    run = lambda: render(scene, camera, config, method=method)
+    def frame(i):
+        camera = Camera.create(
+            eye=(0.002 * i, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+            width=WIDTH, height=HEIGHT,
+        )
+        out = render(scene, camera, config, method=method,
+                     pair_capacity=PAIR_CAPACITY)
+        return out["rgb"].mean()
 
-    # warmup / compile
-    out = run()
-    jax.block_until_ready(out["rgb"])
+    def loop(k):
+        return jax.jit(
+            lambda: jax.lax.fori_loop(0, k, lambda i, a: a + frame(i), 0.0)
+        )
 
-    n_iters = 10
+    k = 6
+    fk, f1 = loop(k), loop(1)
+    float(fk())  # compile + warm
+    float(f1())
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = run()
-    jax.block_until_ready(out["rgb"])
-    dt = (time.perf_counter() - t0) / n_iters
+    v = float(fk())
+    tk = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(f1())
+    t1 = time.perf_counter() - t0
+    dt = max((tk - t1) / (k - 1), 1e-9)
 
     mrays = WIDTH * HEIGHT / dt / 1e6
+    assert v == v, "non-finite render output"
     print(
         json.dumps(
             {

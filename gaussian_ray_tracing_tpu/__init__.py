@@ -19,6 +19,24 @@ Layout:
   utils/        — image IO, PSNR, timing, logging
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: first Mosaic/XLA compile of the fused march
+# kernel takes minutes on tunneled TPU backends; cache it across processes.
+if not _os.environ.get("GRT_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/grt_tpu_jax_cache"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort; never block import
+        pass
+
 from gaussian_ray_tracing_tpu.config import RenderConfig
 from gaussian_ray_tracing_tpu.scene.gaussians import GaussianScene
 from gaussian_ray_tracing_tpu.cameras import Camera

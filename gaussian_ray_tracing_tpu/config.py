@@ -81,26 +81,30 @@ class RenderConfig:
     # --- Tiled-renderer (TPU fast path) knobs; no reference analog ---
     tile_w: int = 16
     tile_h: int = 16
-    # Max (tile, gaussian) overlap pairs a single gaussian may emit per axis;
-    # footprints wider than this are clamped (conservative dropping is logged
-    # by the culling stage via the overflow counter it returns).
-    max_tile_span: int = 8
-    # Capacity of each tile's depth-sorted candidate list.
+    # Capacity of each tile's depth-sorted candidate list (XLA tiled march
+    # only; the pair-stream Pallas path has no per-tile cap).
     max_per_tile: int = 1024
-    # Capacity of the per-frame broadcast list for footprints wider than
-    # max_tile_span tiles (e.g. gaussians enclosing the camera); these are
-    # depth-merged into every tile so no coverage is cropped.
-    big_capacity: int = 64
     # Candidate chunk processed per inner step of the march kernel.
     march_chunk: int = 256
     # Hit ordering inside the march:
-    #   "key"    — global per-tile depth-key order only (fastest; the
-    #              standard sorted-splatting approximation)
-    #   "window" — additionally re-sorts each march chunk per ray by its own
-    #              exact event t (bounded-window per-ray ordering; inversions
-    #              wider than march_chunk candidates remain approximate).
+    #   "key"     — global per-tile depth-key order only (fastest; the
+    #               standard sorted-splatting approximation)
+    #   "window"  — additionally re-sorts each march chunk per ray by its own
+    #               exact event t (bounded-window per-ray ordering; inversions
+    #               wider than march_chunk candidates remain approximate)
+    #   "oddeven" — window ordering via window_passes odd-even transposition
+    #               passes instead of a full sort (fixes displacements up to
+    #               window_passes; what the Pallas kernel implements)
     # The oracle renderer is always exactly per-ray ordered.
     order: str = "window"
+    # Number of odd-even compare-exchange passes for order="oddeven".
+    window_passes: int = 16
+    # Pair sort keys: "gaussian" (default) = one shared per-gaussian depth
+    # key (the iso-ellipsoid entry t along the eye->center ray — the most
+    # stable single key, measured better than per-tile central-ray keys
+    # whose grazing entries are noisy); "tile"/"tile_peak" = per-pair keys
+    # along each pair's tile central ray (kept for experimentation).
+    pair_keys: str = "gaussian"
     # Compute/composite dtype for the fast path ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Use the fused Pallas kernel for the per-tile march (False = pure-JAX path).

@@ -1,0 +1,125 @@
+"""Full-frame renderer on the fused Pallas pair-stream march kernel.
+
+The fast single-chip forward path (BASELINE.json config "pinhole" headline):
+conservative footprints -> packed-key pair sort (ops/tiles.bin_pairs) ->
+ONE packed feature row gather -> the fused Pallas march
+(ops/pallas_march.py). Semantics match the XLA tiled path with
+order="key" (global per-tile depth order, the standard sorted-splatting
+approximation); the oracle and the tiled "window" mode remain the
+exact-ordering references. Forward-only: gradients/training use the XLA
+tiled path, which shares the binning and feature table.
+
+On non-TPU backends the kernel runs in the Pallas interpreter (slow,
+test-only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_ray_tracing_tpu.cameras import Camera, generate_rays
+from gaussian_ray_tracing_tpu.config import RenderConfig
+from gaussian_ray_tracing_tpu.models.tiled import (
+    default_pair_capacity,
+    feature_table,
+    tile_rays,
+    untile_image,
+)
+from gaussian_ray_tracing_tpu.ops.pallas_march import pallas_march_stream
+from gaussian_ray_tracing_tpu.ops.response import ray_ellipsoid_span
+from gaussian_ray_tracing_tpu.ops.tiles import (
+    bin_pairs,
+    camera_axis_extents,
+    num_tiles,
+    project_footprints,
+)
+from gaussian_ray_tracing_tpu.scene.gaussians import GaussianScene
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "pair_capacity", "chunk", "interpret", "return_aux"),
+)
+def render_pallas(
+    scene: GaussianScene,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+    pair_capacity: int | None = None,
+    chunk: int | None = None,
+    interpret: bool | None = None,
+    return_aux: bool = False,
+):
+    """Full-frame primary-ray render via the Pallas march kernel.
+
+    Returns {rgb (H,W,3) float in [0,1], alpha (H,W)}.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    if pair_capacity is None:
+        pair_capacity = default_pair_capacity(scene.num_gaussians)
+    if chunk is None:
+        # kernel march/sort window; 256 = parity-grade ordering window
+        chunk = max(32, min(config.march_chunk, 256))
+
+    table, M, radius = feature_table(scene, config)
+    bound_radius = radius * jnp.max(scene.scales, axis=-1)
+    extents = camera_axis_extents(scene.scales, scene.quats, radius, camera)
+    fp = project_footprints(
+        scene.means, bound_radius, camera, config, extents=extents
+    )
+    # central-ray event depth key (same rule as models/tiled.prepare_frame)
+    rel = scene.means - camera.eye
+    rho = jnp.maximum(jnp.linalg.norm(rel, axis=-1), 1e-9)
+    hit, t_in, t_out = ray_ellipsoid_span(
+        scene.means, M, radius, camera.eye, rel / rho[:, None]
+    )
+    key = jnp.where(t_in >= config.t_min, t_in, t_out)
+    key = jnp.where(hit, key, rho)
+    fp = fp._replace(depth=key)
+
+    geom = (scene.means, M.reshape(-1, 9), radius)
+    stream = bin_pairs(fp, camera, config, pair_capacity, geom=geom)
+
+    # ONE packed per-pair feature gather. The table is column-padded to 128
+    # first: Mosaic requires HBM DMA slices lane-aligned to 128, and row
+    # gathers are row-count-bound so the extra columns are free. Rows are
+    # padded by `chunk` so the last DMA of the last tile never reads OOB.
+    F = table.shape[1]
+    if F < 128:
+        table = jnp.pad(table, ((0, 0), (0, 128 - F)))
+    pair_feats = table[jnp.maximum(stream.gid, 0)]
+    pair_feats = jnp.pad(pair_feats, ((0, chunk), (0, 0)))
+
+    origins, dirs, valid = generate_rays(camera, config)
+    dirs_t = tile_rays(dirs, config.tile_w, config.tile_h)  # (T, R, 3)
+    tx_n, ty_n = num_tiles(camera, config)
+
+    rgb_t, alpha_t = pallas_march_stream(
+        stream.starts,
+        camera.eye.astype(jnp.float32),
+        pair_feats,
+        dirs_t,
+        config,
+        n_tiles=tx_n * ty_n,
+        rays_per_tile=config.rays_per_tile,
+        chunk=chunk,
+        interpret=interpret,
+    )
+
+    H, W = camera.height, camera.width
+    rgb = untile_image(rgb_t, H, W, config.tile_w, config.tile_h)
+    alpha = untile_image(alpha_t[..., None], H, W, config.tile_w, config.tile_h)[..., 0]
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    alpha = jnp.where(valid, alpha, 0.0)
+    out = {"rgb": rgb, "alpha": alpha}
+    if return_aux:
+        out["aux"] = {"n_pairs": stream.n_pairs, "n_dropped": stream.n_dropped}
+    return out

@@ -35,20 +35,24 @@ def render(
     config: RenderConfig = RenderConfig(),
     mesh: Optional[TriangleMesh] = None,
     method: str = "auto",
+    pair_capacity: int | None = None,
 ):
     """Render a frame. method: auto | oracle | tiled | pallas."""
     if mesh is not None:
         return render_with_mesh(scene, mesh, camera, config)
     if method == "auto":
-        method = "pallas" if config.use_pallas else "tiled"
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        method = "pallas" if (config.use_pallas or on_tpu) else "tiled"
     if method == "oracle":
         return render_oracle(scene, camera, config)
     if method == "tiled":
-        return render_tiled(scene, camera, config)
+        return render_tiled(scene, camera, config, pair_capacity=pair_capacity)
     if method == "pallas":
         from gaussian_ray_tracing_tpu.models.pallas_renderer import render_pallas
 
-        return render_pallas(scene, camera, config)
+        return render_pallas(scene, camera, config, pair_capacity=pair_capacity)
     raise ValueError(f"unknown method {method}")
 
 

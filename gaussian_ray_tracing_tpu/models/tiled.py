@@ -31,7 +31,12 @@ from gaussian_ray_tracing_tpu.ops.response import (
     ray_ellipsoid_span,
 )
 from gaussian_ray_tracing_tpu.ops.sh import SH_C0, num_coeffs, sh_basis
-from gaussian_ray_tracing_tpu.ops.tiles import TileBinning, bin_tiles, project_footprints
+from gaussian_ray_tracing_tpu.ops.tiles import (
+    TileBinning,
+    bin_tiles,
+    camera_axis_extents,
+    project_footprints,
+)
 from gaussian_ray_tracing_tpu.scene.gaussians import GaussianScene
 
 
@@ -56,11 +61,31 @@ def untile_image(tiles: jnp.ndarray, height: int, width: int, tile_w: int, tile_
     return x[:height, :width]
 
 
+def _oddeven_perm(key: jnp.ndarray, passes: int) -> jnp.ndarray:
+    """Permutation from `passes` odd-even transposition passes over the last
+    axis (ascending). Exact when every element is displaced <= passes from
+    its sorted position; a nearly-sorted input needs few passes."""
+    m = key.shape[-1]
+    idx = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.int32), key.shape
+    )
+    pos = jnp.arange(m, dtype=jnp.int32)
+    for p in range(passes):
+        kr = jnp.roll(key, -1, axis=-1)
+        ir = jnp.roll(idx, -1, axis=-1)
+        # compare-exchange (i, i+1) for i of parity p
+        swap_hi = (pos % 2 == p % 2) & (pos < m - 1) & (key > kr)
+        swap_lo = jnp.roll(swap_hi, 1, axis=-1)
+        key = jnp.where(swap_hi, kr, jnp.where(swap_lo, jnp.roll(key, 1, axis=-1), key))
+        idx = jnp.where(swap_hi, ir, jnp.where(swap_lo, jnp.roll(idx, 1, axis=-1), idx))
+    return idx
+
+
 def march_tile_chunk(
     cand: jnp.ndarray,  # (Tc, M_cap)
     dirs: jnp.ndarray,  # (Tc, R, 3)
     eye: jnp.ndarray,  # (3,)
-    feats: dict,  # per-gaussian arrays, see prepare_frame
+    gfeats: dict,  # pre-gathered per-slot (Tc, M_cap) arrays (unpack_columns)
     config: RenderConfig,
 ):
     """March a chunk of tiles through their candidate lists.
@@ -86,20 +111,20 @@ def march_tile_chunk(
     eye_c = eye.astype(dtype)
 
     sh_deg = config.sh_degree
+    n_coeffs = num_coeffs(sh_deg)
     basis = sh_basis(dx, dy, dz, sh_deg) if sh_deg > 0 else None  # (Tc, R, K)
 
-    def step(carry, ids):
+    def step(carry, xs):
         t_carry, racc, gacc, bacc = carry  # (Tc, R) each
-        safe = jnp.maximum(ids, 0)  # (Tc, mc)
-        present = ids >= 0
+        ids, gf = xs
+        present = ids >= 0  # (Tc, mc)
 
-        m9 = feats["M9"][safe].astype(dtype)  # (Tc, mc, 9) rows of S^-1 R^T
-        m = [m9[..., k] for k in range(9)]
-        ox = eye_c[0] - feats["mx"][safe].astype(dtype)  # (Tc, mc)
-        oy = eye_c[1] - feats["my"][safe].astype(dtype)
-        oz = eye_c[2] - feats["mz"][safe].astype(dtype)
-        op = feats["opacities"][safe].astype(dtype)
-        rad = feats["radius"][safe].astype(dtype)
+        m = [gf[f"m{k}"].astype(dtype) for k in range(9)]  # rows of S^-1 R^T
+        ox = eye_c[0] - gf["mx"].astype(dtype)  # (Tc, mc)
+        oy = eye_c[1] - gf["my"].astype(dtype)
+        oz = eye_c[2] - gf["mz"].astype(dtype)
+        op = gf["op"].astype(dtype)
+        rad = gf["rad"].astype(dtype)
 
         # canonical-space origin offset o_g = M (eye - mu), shared by the
         # tile's rays (primary rays share the eye)
@@ -144,13 +169,22 @@ def march_tile_chunk(
             a_eff = 1.0 - (1.0 - alpha) ** config.hit_multiplicity
         a = jnp.where(gate, a_eff, 0.0)
 
-        if config.order == "window":
+        if config.order in ("window", "oddeven"):
             # per-ray re-sort of this chunk by exact event t: bounded-window
             # exact ordering (inversions wider than march_chunk remain).
             # Weights are computed in sorted order then scattered back so the
             # color contraction below stays in candidate order.
+            # "oddeven" runs a fixed number of odd-even transposition passes
+            # instead of a full sort: the stream is already globally ordered
+            # by the per-tile depth key, so per-ray inversions are mostly
+            # local and k passes fix displacements up to k (this is the
+            # scheme the Pallas kernel uses; exposed here for parity tests
+            # and quality/cost tuning).
             sort_key = jnp.where(valid, t_event, jnp.inf)
-            perm = jnp.argsort(sort_key, axis=-1)
+            if config.order == "oddeven":
+                perm = _oddeven_perm(sort_key, config.window_passes)
+            else:
+                perm = jnp.argsort(sort_key, axis=-1)
             a_s = jnp.take_along_axis(a, perm, axis=-1)
             p_incl = jnp.cumprod(1.0 - a_s, axis=-1) * t_carry[..., None]
             p_excl = jnp.concatenate([t_carry[..., None], p_incl[..., :-1]], axis=-1)
@@ -171,27 +205,73 @@ def march_tile_chunk(
         # per-channel color contraction over candidates
         accs = []
         for ch, acc in (("sh_r", racc), ("sh_g", gacc), ("sh_b", bacc)):
-            shc = feats[ch][safe].astype(dtype)  # (Tc, mc, K)
             if sh_deg == 0:
-                col = jnp.maximum(0.5 + SH_C0 * shc[..., 0], 0.0)  # (Tc, mc)
+                col = jnp.maximum(0.5 + SH_C0 * gf[f"{ch}_0"].astype(dtype), 0.0)
                 accs.append(acc + jnp.einsum("trm,tm->tr", w, col))
             else:
+                shc = jnp.stack(
+                    [gf[f"{ch}_{k}"].astype(dtype) for k in range(n_coeffs)], -1
+                )  # (Tc, mc, K)
                 col = jnp.maximum(0.5 + jnp.einsum("trk,tmk->trm", basis, shc), 0.0)
                 accs.append(acc + jnp.sum(w * col, axis=-1))
 
         return (t_next, *accs), None
 
     pad = n_steps * mc - m_cap
-    cand_p = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1) if pad else cand
-    chunks = jnp.transpose(cand_p.reshape(Tc, n_steps, mc), (1, 0, 2))
+    to_chunks = lambda x, fill: jnp.transpose(
+        (jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill) if pad else x)
+        .reshape(Tc, n_steps, mc),
+        (1, 0, 2),
+    )
+    xs = (to_chunks(cand, -1), {k: to_chunks(v, 0) for k, v in gfeats.items()})
     init = (
         jnp.ones((Tc, R), dtype),
         jnp.zeros((Tc, R), dtype),
         jnp.zeros((Tc, R), dtype),
         jnp.zeros((Tc, R), dtype),
     )
-    (t_final, r, g, b), _ = jax.lax.scan(step, init, chunks)
+    (t_final, r, g, b), _ = jax.lax.scan(step, init, xs)
     return jnp.stack([r, g, b], axis=-1), 1.0 - t_final
+
+
+def feature_table(scene: GaussianScene, config: RenderConfig):
+    """Packed per-gaussian feature table (N, 14+3K) float32.
+
+    Columns: [mx, my, mz, m00..m22 (rows of M = S^-1 R^T), opacity,
+    iso radius, sh_r[0..K-1], sh_g[0..K-1], sh_b[0..K-1]].
+
+    One packed table means the per-frame candidate feature fetch is a
+    SINGLE row gather: TPU row gathers are row-count-bound (1..128 columns
+    cost the same), while per-feature gathers are ~50x slower in aggregate.
+    """
+    M = canonical_frames(scene.scales, scene.quats)
+    radius = adaptive_radius(scene.opacities, config.alpha_min)
+    k = num_coeffs(config.sh_degree)
+    cols = [
+        scene.means,
+        M.reshape(-1, 9),
+        scene.opacities[:, None],
+        radius[:, None],
+        scene.sh[:, :k, 0],
+        scene.sh[:, :k, 1],
+        scene.sh[:, :k, 2],
+    ]
+    return jnp.concatenate(cols, axis=1), M, radius
+
+
+def unpack_columns(g: jnp.ndarray, n_coeffs: int) -> dict:
+    """Split gathered feature rows (..., F) into per-feature (...,) arrays
+    (compact layouts: no trailing short axes survive into the march)."""
+    out = {
+        "mx": g[..., 0], "my": g[..., 1], "mz": g[..., 2],
+        "op": g[..., 12], "rad": g[..., 13],
+    }
+    for i in range(9):
+        out[f"m{i}"] = g[..., 3 + i]
+    for c, name in enumerate(("sh_r", "sh_g", "sh_b")):
+        for k in range(n_coeffs):
+            out[f"{name}_{k}"] = g[..., 14 + c * n_coeffs + k]
+    return out
 
 
 def prepare_frame(
@@ -200,15 +280,17 @@ def prepare_frame(
     config: RenderConfig,
     pair_capacity: int,
 ):
-    """Frame setup shared by the local and sharded renderers: per-gaussian
-    features, tile binning, and per-tile ray directions."""
-    M = canonical_frames(scene.scales, scene.quats)
-    radius = adaptive_radius(scene.opacities, config.alpha_min)
+    """Frame setup shared by the local and sharded renderers: the packed
+    feature table, tile binning, and per-tile ray directions."""
+    table, M, radius = feature_table(scene, config)
     bound_radius = radius * jnp.max(scene.scales, axis=-1)
-    fp = project_footprints(scene.means, bound_radius, camera, config)
+    extents = camera_axis_extents(scene.scales, scene.quats, radius, camera)
+    fp = project_footprints(
+        scene.means, bound_radius, camera, config, extents=extents
+    )
     # global depth key matching the oracle's per-ray event rule evaluated on
     # the central ray through each gaussian (entry t, or exit t when the
-    # camera sits inside the iso ellipsoid) — far better ordering than view
+    # camera sits inside the iso ellipsoid) -- far better ordering than view
     # depth for near/enclosing gaussians
     rel = scene.means - camera.eye
     rho = jnp.maximum(jnp.linalg.norm(rel, axis=-1), 1e-9)
@@ -218,60 +300,39 @@ def prepare_frame(
     key = jnp.where(t_in >= config.t_min, t_in, t_out)
     key = jnp.where(hit, key, rho)  # radius-0 (invisible) entries: any key
     fp = fp._replace(depth=key)
-    binning: TileBinning = bin_tiles(fp, camera, config, pair_capacity)
+    geom = (scene.means, M.reshape(-1, 9), radius)
+    binning: TileBinning = bin_tiles(fp, camera, config, pair_capacity, geom=geom)
 
     origins, dirs, valid = generate_rays(camera, config)
     dirs_t = tile_rays(dirs, config.tile_w, config.tile_h)  # (T, R, 3)
-
-    k = num_coeffs(config.sh_degree)
-    feats = {
-        # per-component / flattened layouts: gathers of these stay free of
-        # trailing short axes (see march_tile_chunk layout note)
-        "mx": scene.means[:, 0],
-        "my": scene.means[:, 1],
-        "mz": scene.means[:, 2],
-        "M9": M.reshape(-1, 9),
-        "opacities": scene.opacities,
-        "radius": radius,
-        "sh_r": scene.sh[:, :k, 0],
-        "sh_g": scene.sh[:, :k, 1],
-        "sh_b": scene.sh[:, :k, 2],
-    }
-    cand = merge_big_into_tiles(binning.cand, binning.big, fp.depth)
-    binning = binning._replace(cand=cand)
-    return feats, binning, dirs_t, valid
+    return table, binning, dirs_t, valid
 
 
-def merge_big_into_tiles(cand: jnp.ndarray, big: jnp.ndarray, depth: jnp.ndarray):
-    """Depth-merge the broadcast ("big footprint") list into every tile's
-    already depth-sorted candidate list. -1 entries sort to the end."""
-    T, M = cand.shape
-    B = big.shape[0]
-    if B == 0:
-        return cand
-    comb = jnp.concatenate([cand, jnp.broadcast_to(big[None], (T, B))], axis=1)
-    d = jnp.where(comb >= 0, depth[jnp.maximum(comb, 0)], jnp.inf)
-    order = jnp.argsort(d, axis=1)
-    return jnp.take_along_axis(comb, order, axis=1)
+def march_frame(cand, dirs_t, eye, table, config: RenderConfig, tile_chunk: int):
+    """March every tile (chunked): (T, M_cap) + (T, R, 3) -> rgb/alpha tiles.
 
-
-def march_frame(cand, dirs_t, eye, feats, config: RenderConfig, tile_chunk: int):
-    """March every tile (chunked): (T, M_cap) + (T, R, 3) -> rgb/alpha tiles."""
-    T = dirs_t.shape[0]
+    Fetches all candidate features with one packed row gather up front, then
+    the chunked march is gather-free (pure slicing).
+    """
+    T, m_cap = cand.shape
     n_chunks = -(-T // tile_chunk)
     pad_t = n_chunks * tile_chunk - T
     cand_p = jnp.pad(cand, ((0, pad_t), (0, 0)), constant_values=-1) if pad_t else cand
     dirs_p = jnp.pad(dirs_t, ((0, pad_t), (0, 0), (0, 0))) if pad_t else dirs_t
 
+    gathered = table[jnp.maximum(cand_p, 0)]  # (T', m_cap, F)
+    gfeats = unpack_columns(gathered, num_coeffs(config.sh_degree))
+
     def chunk_fn(args):
-        cand_c, dirs_c = args
-        return march_tile_chunk(cand_c, dirs_c, eye, feats, config)
+        cand_c, dirs_c, gf_c = args
+        return march_tile_chunk(cand_c, dirs_c, eye, gf_c, config)
 
     rgb_t, alpha_t = jax.lax.map(
         chunk_fn,
         (
             cand_p.reshape(n_chunks, tile_chunk, -1),
             dirs_p.reshape(n_chunks, tile_chunk, dirs_t.shape[1], 3),
+            {k: v.reshape(n_chunks, tile_chunk, m_cap) for k, v in gfeats.items()},
         ),
     )
     rgb_t = rgb_t.reshape(n_chunks * tile_chunk, -1, 3)[:T]

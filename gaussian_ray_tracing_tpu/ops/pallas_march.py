@@ -1,0 +1,311 @@
+"""Fused Pallas march/composite kernel over the sorted pair stream.
+
+This is the TPU replacement for the reference's per-pixel OptiX traversal +
+anyhit k-buffer + segment-march loop (shaders/tracer.cu:124-153,
+shaders/tracer.cuh:328-373). One grid program per image tile:
+
+  - the tile's candidates are a CONTIGUOUS, depth-ordered segment of the
+    sorted pair stream (ops/tiles.bin_pairs), located by the scalar-prefetched
+    `starts` array — no per-tile capacity, no padding slots, empty tiles do
+    zero chunk iterations;
+  - candidate features stream HBM -> VMEM through a hand-rolled
+    double-buffered async-DMA pipeline in chunks of `c` pairs;
+  - all work arrays are (c, R): candidates on sublanes, rays on lanes.
+    Per-candidate feature columns are (c, 1) slices and per-ray values are
+    (1, R) rows, so every broadcast is layout-free (no transposes anywhere);
+  - the front-to-back compositing recurrence is evaluated as an exclusive
+    prefix product along the candidate axis via exp(L @ log1p(-a)) with a
+    strictly-lower-triangular ones matrix on the MXU — bit-equivalent to the
+    reference's sequential march in the produced weights (see
+    ops/composite.py for the equivalence argument), chunk-size independent
+    because the transmittance carry chains exactly;
+  - early termination: once every ray in the tile has transmittance below
+    min_transmittance (shaders/tracer.cuh:341), remaining chunks skip all
+    compute (DMA still streams; bandwidth is cheap, VPU/MXU time is not).
+
+Forward-only: training and gradients use the XLA tiled path
+(models/tiled.py), which shares the same binning and feature table.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussian_ray_tracing_tpu.config import RenderConfig
+from gaussian_ray_tracing_tpu.ops.sh import SH_C0, num_coeffs, sh_basis_list
+
+# feature-table column indices (models/tiled.feature_table)
+_MX, _MY, _MZ = 0, 1, 2
+_M0 = 3  # m00..m22 -> columns 3..11
+_OP, _RAD = 12, 13
+_SH0 = 14  # sh_r[0..K-1], sh_g[...], sh_b[...]
+
+
+def _roll(x: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Circular roll along the candidate (sublane) axis (jnp.roll semantics:
+    out[i] = in[i - shift]; pltpu.roll only accepts non-negative shifts)."""
+    c = x.shape[0]
+    return pltpu.roll(x, shift % c, axis=0)
+
+
+def _bitonic_sort(key, pay1, pay2, c: int):
+    """Ascending per-lane bitonic sort of (c, R) arrays along the candidate
+    axis with two payloads. XOR-partner exchanges are expressed as two
+    sublane rolls + selects (no per-lane addressing exists on TPU)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+    n_lv = c.bit_length() - 1
+    for k in range(1, n_lv + 1):
+        desc = (idx & (1 << k)) != 0  # (c, 1) merge direction
+        for j in reversed(range(k)):
+            d = 1 << j
+            hi = (idx & d) != 0
+            pk = jnp.where(hi, _roll(key, d), _roll(key, -d))
+            p1 = jnp.where(hi, _roll(pay1, d), _roll(pay1, -d))
+            p2 = jnp.where(hi, _roll(pay2, d), _roll(pay2, -d))
+            keep_min = hi == desc
+            take = (pk < key) == keep_min
+            key = jnp.where(take, pk, key)
+            pay1 = jnp.where(take, p1, pay1)
+            pay2 = jnp.where(take, p2, pay2)
+    return key, pay1, pay2
+
+
+def _march_kernel(
+    starts_ref,  # scalar prefetch: (T+1,) int32 pair-segment starts
+    eye_ref,  # scalar prefetch: (3,) float32 camera eye
+    feats_hbm,  # (P_pad, F) float32 per-pair features, HBM-resident
+    dirs_ref,  # (1, 8, R) float32: rows 0..2 = dx, dy, dz of this tile
+    out_ref,  # (1, 8, R) float32: rows 0..2 rgb, row 3 final transmittance
+    acc,  # VMEM scratch (8, R): rows 0..2 rgb, row 3 transmittance
+    fbuf,  # VMEM scratch (2, c, F): double-buffered feature chunks
+    sems,  # DMA semaphores (2,)
+    *,
+    config: RenderConfig,
+    c: int,
+    R: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    n = starts_ref[t + 1] - start
+    n_chunks = pl.cdiv(n, c)
+    f32 = jnp.float32
+
+    dirs = dirs_ref[0]  # (8, R)
+    dx, dy, dz = dirs[0:1, :], dirs[1:2, :], dirs[2:3, :]  # (1, R)
+    live = dx * dx + dy * dy + dz * dz > 0.01  # |dir| > 0.1 (tracer.cu:59)
+    ex, ey, ez = eye_ref[0], eye_ref[1], eye_ref[2]
+
+    acc[0:3, :] = jnp.zeros((3, R), f32)
+    acc[3:4, :] = jnp.ones((1, R), f32)
+
+    # strictly-lower-triangular ones: exclusive prefix sums over candidates
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    ).astype(f32)
+    cand_idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+
+    sh_deg = config.sh_degree
+    K = num_coeffs(sh_deg)
+    # list of K (1, R) arrays: layout-free per-ray basis values
+    basis = sh_basis_list(dx, dy, dz, sh_deg) if sh_deg > 0 else None
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start + j * c, c), :],
+            fbuf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(j, _):
+        slot = j % 2
+
+        @pl.when(j + 1 < n_chunks)
+        def _():
+            get_dma((j + 1) % 2, j + 1).start()
+
+        get_dma(slot, j).wait()
+        t_carry = acc[3:4, :]  # (1, R)
+
+        @pl.when(jnp.max(t_carry) > config.min_transmittance)
+        def _():
+            g = fbuf[slot]  # (c, F)
+            col = lambda k: g[:, k : k + 1]  # (c, 1)
+            m = [col(_M0 + k) for k in range(9)]
+            ox = ex - col(_MX)
+            oy = ey - col(_MY)
+            oz = ez - col(_MZ)
+            op = col(_OP)
+            rad = col(_RAD)
+
+            # canonical frame: o_g = M (eye - mu) per candidate, d_g = M d
+            ogx = m[0] * ox + m[1] * oy + m[2] * oz  # (c, 1)
+            ogy = m[3] * ox + m[4] * oy + m[5] * oz
+            ogz = m[6] * ox + m[7] * oy + m[8] * oz
+            dgx = m[0] * dx + m[1] * dy + m[2] * dz  # (c, R)
+            dgy = m[3] * dx + m[4] * dy + m[5] * dz
+            dgz = m[6] * dx + m[7] * dy + m[8] * dz
+
+            dd = dgx * dgx + dgy * dgy + dgz * dgz
+            od = ogx * dgx + ogy * dgy + ogz * dgz
+            oo = ogx * ogx + ogy * ogy + ogz * ogz  # (c, 1)
+
+            # max response along the ray (shaders/tracer.cuh:187-214)
+            t_star = -od / jnp.maximum(dd, 1e-6)
+            pp = oo + t_star * (2.0 * od + t_star * dd)
+            resp = jnp.exp(-0.5 * jnp.maximum(pp, 0.0))
+            alpha = jnp.minimum(config.alpha_clamp, resp * op)
+
+            # iso-ellipsoid event within [t_min, t_max] (oracle hit rule)
+            cq = oo - rad * rad
+            disc = od * od - dd * cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            inv_dd = 1.0 / jnp.maximum(dd, 1e-12)
+            t_entry = (-od - sq) * inv_dd
+            t_exit = (-od + sq) * inv_dd
+            t_event = jnp.where(t_entry < config.t_min, t_exit, t_entry)
+            in_window = (t_event >= config.t_min) & (t_event <= config.t_max)
+
+            present = cand_idx < (n - j * c)  # (c, 1) tail mask
+            gate = (
+                present
+                & (disc >= 0.0)
+                & in_window
+                & live
+                & (alpha > config.alpha_min)
+            )
+            if config.hit_multiplicity == 1:
+                a_eff = alpha
+            else:
+                a_eff = 1.0 - (1.0 - alpha) ** config.hit_multiplicity
+            a = jnp.where(gate, a_eff, 0.0)
+
+            # per-candidate colors (needed before a possible per-ray re-sort)
+            colors = []
+            for ch in range(3):
+                if sh_deg == 0:
+                    colors.append(
+                        jnp.maximum(0.5 + SH_C0 * col(_SH0 + ch * K), 0.0)
+                    )  # (c, 1)
+                else:
+                    acc_c = jnp.full((c, R), 0.5, f32)
+                    for k in range(K):
+                        acc_c += basis[k] * col(_SH0 + ch * K + k)
+                    colors.append(jnp.maximum(acc_c, 0.0))  # (c, R)
+
+            if config.order == "window":
+                # per-ray bitonic sort of this chunk by exact event t
+                # (bounded-window exact ordering, tracer.cu:124-153 k-buffer
+                # semantics at window width c). Zero-alpha entries key to
+                # +inf: their position in the prefix product is irrelevant
+                # (log(1-0)=0), only significant hits need relative order.
+                # Colors ride as one 3x10-bit packed int payload (1/256
+                # steps over [0,4); the output is RGB8-quantized anyway,
+                # shaders/tracer.cuh:484).
+                skey = jnp.where(a > 0.0, t_event, jnp.inf)
+                q = lambda x: jnp.clip(x * 255.75, 0.0, 1023.0).astype(jnp.int32)
+                cpack = (
+                    jax.lax.shift_left(q(colors[0]), 20)
+                    | jax.lax.shift_left(q(colors[1]), 10)
+                    | q(colors[2])
+                )
+                cpack = jnp.broadcast_to(cpack, (c, R))
+                skey, a, cpack = _bitonic_sort(skey, a, cpack, c)
+                unq = lambda x: x.astype(f32) * (1.0 / 255.75)
+                mask10 = jnp.int32(1023)
+                colors = [
+                    unq(jax.lax.shift_right_logical(cpack, 20) & mask10),
+                    unq(jax.lax.shift_right_logical(cpack, 10) & mask10),
+                    unq(cpack & mask10),
+                ]
+
+            # exclusive prefix product over candidates on the MXU
+            logp = jnp.log1p(-a)
+            s_excl = jnp.dot(tri, logp, preferred_element_type=f32)  # (c, R)
+            p_excl = t_carry * jnp.exp(s_excl)
+            p_incl = p_excl * (1.0 - a)
+            w = a * p_excl * (p_excl > config.min_transmittance)
+
+            # sequential early-termination semantics (ops/composite.py)
+            below = p_incl <= config.min_transmittance
+            frozen = jnp.max(
+                jnp.where(below, p_incl, -jnp.inf), axis=0, keepdims=True
+            )
+            p_last = p_incl[c - 1 : c, :]
+            t_next = jnp.where(jnp.any(below, axis=0, keepdims=True), frozen, p_last)
+            acc[3:4, :] = jnp.where(
+                t_carry > config.min_transmittance, t_next, t_carry
+            )
+
+            # per-channel radiance accumulation
+            for ch in range(3):
+                acc[ch : ch + 1, :] = acc[ch : ch + 1, :] + jnp.sum(
+                    w * colors[ch], axis=0, keepdims=True
+                )
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+
+    out_ref[0] = acc[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "n_tiles", "rays_per_tile", "chunk", "interpret")
+)
+def pallas_march_stream(
+    starts: jnp.ndarray,  # (T+1,) int32
+    eye: jnp.ndarray,  # (3,) float32
+    pair_feats: jnp.ndarray,  # (P_pad, F) float32, P_pad >= starts[-1] + chunk
+    dirs_t: jnp.ndarray,  # (T, R, 3) float32 tile ray dirs
+    config: RenderConfig,
+    n_tiles: int,
+    rays_per_tile: int,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """March every tile over its pair-stream segment. Returns (rgb (T,R,3),
+    alpha (T,R))."""
+    R = rays_per_tile
+    F = pair_feats.shape[1]
+    # (T, 8, R) packed dirs: Mosaic block shapes need the last two dims to be
+    # (8k, 128k), so per-tile vectors ride in 8-row panels
+    dirs_pack = jnp.zeros((n_tiles, 8, R), jnp.float32)
+    dirs_pack = dirs_pack.at[:, 0:3, :].set(
+        jnp.transpose(dirs_t, (0, 2, 1)).astype(jnp.float32)
+    )
+
+    kernel = functools.partial(_march_kernel, config=config, c=chunk, R=R)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # features stay in HBM
+            pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, R), jnp.float32),
+            pltpu.VMEM((2, chunk, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, R), jnp.float32),
+        interpret=interpret,
+    )(starts, eye, pair_feats, dirs_pack)
+    rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))  # (T, R, 3)
+    return rgb, 1.0 - out[:, 3, :]

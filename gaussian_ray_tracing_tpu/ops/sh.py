@@ -91,6 +91,12 @@ def sh_basis(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, degree: int) -> jnp
       reproduces eval_sh exactly. This layout keeps TPU tensors free of
       trailing length-3 axes (see models/tiled.py).
     """
+    return jnp.stack(sh_basis_list(x, y, z, degree), axis=-1)
+
+
+def sh_basis_list(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, degree: int) -> list:
+    """sh_basis as a list of K same-shape arrays (layout-free form for
+    Pallas kernels, where a stacked trailing-K axis would lane-pad)."""
     if not 0 <= degree <= 3:
         raise ValueError(f"sh degree must be in [0,3], got {degree}")
     b = [jnp.full(x.shape, SH_C0, x.dtype)]
@@ -116,4 +122,4 @@ def sh_basis(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, degree: int) -> jnp
             SH_C3_5 * z * (xx - yy),
             SH_C3_6 * x * (xx - 3.0 * yy),
         ]
-    return jnp.stack(b, axis=-1)
+    return b

@@ -4,21 +4,31 @@ Where the reference builds an OptiX two-level BVH over per-particle
 icosahedron proxy hulls and traverses it per ray
 (src/GaussianTracer.cpp:297-317, shaders/tracer.cu:124-153), the TPU design
 is sort-based and data-parallel: every gaussian's conservative screen
-footprint is binned into fixed-size pixel tiles, (tile, depth) pairs are
-sorted once per frame with a stable two-pass sort, and each tile ends up
-with a depth-ordered, fixed-capacity candidate list that the march kernel
-streams through VMEM.
+footprint is expanded into (tile, depth, gaussian) pairs, the pairs are
+sorted once per frame by a single packed int32 key, and each tile ends up
+owning a contiguous depth-ordered segment of the sorted pair stream.
+
+The pair expansion is gather-based (repeat-via-cummax), not scatter-based:
+a scatter-per-footprint-cell loop costs ~5 cycles/element on TPU and caps
+the frame rate; marking each gaussian's first pair slot with a scatter-max
+of its id and forward-filling with a cumulative max costs one O(N) scatter
+plus one O(P) cummax. All per-pair context then arrives through one packed
+row gather (row gathers are row-count-bound on TPU: ~2 M rows cost the same
+for 1..128 columns, while separate 1-column gathers are ~50x slower).
 
 The footprint is a bounding sphere of the adaptive iso-ellipsoid
 (radius_canonical * max(scale), with radius_canonical =
 sqrt(2 ln(opacity/alpha_min)) — src/GaussianTracer.cpp:306), so culling is
 conservative: the exact per-ray alpha_min test in the march (equivalent to
 the ellipsoid hit test by construction of the adaptive radius) discards
-false positives.
+false positives. There is no footprint span cap: arbitrarily wide
+footprints (e.g. gaussians enclosing the camera) emit one pair per covered
+tile.
 """
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -27,17 +37,31 @@ import jax.numpy as jnp
 from gaussian_ray_tracing_tpu.cameras import Camera
 from gaussian_ray_tracing_tpu.config import CameraModel, RenderConfig
 
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class PairStream(NamedTuple):
+    """Sorted (tile, depth, gaussian) pair stream.
+
+    Tile t owns the contiguous slots [starts[t], starts[t+1]); within a
+    segment, pairs are ordered by quantized view depth (front to back).
+    """
+
+    gid: jnp.ndarray  # (P,) int32 gaussian ids, -1 in empty slots
+    key: jnp.ndarray  # (P,) int32 sorted packed keys (tile << db | depth_q)
+    starts: jnp.ndarray  # (n_tiles+1,) int32 segment starts
+    n_pairs: jnp.ndarray  # () int32 pairs emitted (pre-clip)
+    n_dropped: jnp.ndarray  # () int32 pairs lost to capacity overflow
+
 
 class TileBinning(NamedTuple):
-    """Per-tile depth-sorted candidate lists."""
+    """Fixed-capacity per-tile candidate-list view of a PairStream (the
+    layout consumed by the pure-XLA tiled march)."""
 
-    cand: jnp.ndarray  # (T, M_cap) int32 gaussian ids, -1 = empty
-    counts: jnp.ndarray  # (T,) int32 candidates per tile (clipped to M_cap)
-    big: jnp.ndarray  # (B_cap,) int32 ids of footprints wider than the span
-    #   cap (incl. camera-enclosing gaussians) — merged into EVERY tile's
-    #   list by the renderer so nothing is silently cropped; depth-sorted
+    cand: jnp.ndarray  # (T, m_cap) int32 gaussian ids, -1 = empty
+    counts: jnp.ndarray  # (T,) int32 candidates per tile (clipped to m_cap)
     n_pairs: jnp.ndarray  # () int32 total emitted pairs
-    n_dropped: jnp.ndarray  # () int32 pairs lost to capacity overflow
+    n_dropped: jnp.ndarray  # () int32 pairs lost to capacity / per-tile caps
 
 
 class Footprint(NamedTuple):
@@ -45,7 +69,7 @@ class Footprint(NamedTuple):
     py: jnp.ndarray  # (N,) pixel-space center y
     rx: jnp.ndarray  # (N,) conservative pixel half-extent x
     ry: jnp.ndarray  # (N,) conservative pixel half-extent y
-    depth: jnp.ndarray  # (N,) front-to-back sort key
+    depth: jnp.ndarray  # (N,) front-to-back sort key (positive)
     visible: jnp.ndarray  # (N,) bool
 
 
@@ -53,13 +77,52 @@ _MARGIN = 1.1  # multiplicative footprint safety margin
 _EPS = 1e-6
 
 
+def num_tiles(camera: Camera, config: RenderConfig) -> tuple[int, int]:
+    tx_n = -(-camera.width // config.tile_w)
+    ty_n = -(-camera.height // config.tile_h)
+    return tx_n, ty_n
+
+
+def camera_axis_extents(
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    radius: jnp.ndarray,
+    camera: Camera,
+):
+    """Tight world-space half-extents of each iso ellipsoid along the camera
+    basis axes: extent along unit v is radius * |S R^T v| (the support
+    function of the ellipsoid x = mu + R S u, |u| = radius). For anisotropic
+    gaussians this is far tighter than the bounding sphere radius*max(scale)
+    and cuts (tile, gaussian) pair count across the whole pipeline."""
+    from gaussian_ray_tracing_tpu.ops.quaternion import quat_to_rotmat
+
+    U, V, W = camera.uvw_frame()
+    u_hat = U / jnp.maximum(jnp.linalg.norm(U), 1e-12)
+    v_hat = V / jnp.maximum(jnp.linalg.norm(V), 1e-12)
+    w_hat = W / jnp.maximum(jnp.linalg.norm(W), 1e-12)
+    R = quat_to_rotmat(quats)  # (N, 3, 3)
+
+    def ext(axis):
+        rta = jnp.einsum("nji,j->ni", R, axis)  # R^T axis
+        return radius * jnp.linalg.norm(scales * rta, axis=-1)
+
+    return ext(u_hat), ext(v_hat), ext(w_hat)
+
+
 def project_footprints(
     means: jnp.ndarray,
     bound_radius: jnp.ndarray,
     camera: Camera,
     config: RenderConfig,
+    extents: tuple | None = None,
 ) -> Footprint:
-    """Conservative screen-space footprints of bounding spheres."""
+    """Conservative screen-space footprints.
+
+    bound_radius: bounding-sphere radius (used by the fisheye model and as
+    the fallback when `extents` is None).
+    extents: optional (ru, rv, rw) tight per-camera-axis half-extents from
+    camera_axis_extents (pinhole only).
+    """
     U, V, W = camera.uvw_frame()
     ulen = jnp.linalg.norm(U)
     vlen = jnp.linalg.norm(V)
@@ -80,10 +143,13 @@ def project_footprints(
         ndc_y = b / z * (wlen / vlen)
         px = (ndc_x + 1.0) * 0.5 * Wpx
         py = (ndc_y + 1.0) * 0.5 * Hpx
-        z_near = jnp.maximum(c - bound_radius, _EPS)
-        rx = bound_radius / z_near * (wlen / ulen) * 0.5 * Wpx
-        ry = bound_radius / z_near * (wlen / vlen) * 0.5 * Hpx
-        visible = (c + bound_radius) > _EPS
+        ru, rv, rw = extents if extents is not None else (
+            bound_radius, bound_radius, bound_radius
+        )
+        z_near = jnp.maximum(c - rw, _EPS)
+        rx = ru / z_near * (wlen / ulen) * 0.5 * Wpx
+        ry = rv / z_near * (wlen / vlen) * 0.5 * Hpx
+        visible = (c + rw) > _EPS
         depth = c
     elif config.camera_model == CameraModel.FISHEYE:
         rho = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
@@ -116,20 +182,52 @@ def project_footprints(
     return Footprint(px, py, rx, ry, depth, visible)
 
 
-def bin_tiles(
+def _depth_bits(n_tiles: int) -> tuple[int, int]:
+    """(tile_bits, depth_bits) splitting a non-negative int32 sort key."""
+    tile_bits = max(1, math.ceil(math.log2(n_tiles + 2)))
+    if tile_bits > 24:
+        raise ValueError(f"too many tiles for packed binning: {n_tiles}")
+    return tile_bits, 31 - tile_bits
+
+
+def _quantize_depth(depth: jnp.ndarray, depth_bits: int) -> jnp.ndarray:
+    """Monotone uint quantization of positive float depth.
+
+    The IEEE-754 bit pattern of a positive float is order-isomorphic to the
+    float itself, so taking its top bits is a monotone quantizer across the
+    full dynamic range (no scene-scale normalization needed).
+    """
+    d = jnp.clip(depth, 1e-30, 1e30)
+    bits = jax.lax.bitcast_convert_type(d, jnp.int32)  # positive => >= 0
+    return jax.lax.shift_right_logical(bits, 31 - depth_bits)
+
+
+def bin_pairs(
     fp: Footprint,
     camera: Camera,
     config: RenderConfig,
     pair_capacity: int,
-) -> TileBinning:
-    """Scatter footprints into per-tile depth-sorted candidate lists."""
+    geom: tuple | None = None,
+) -> PairStream:
+    """Expand footprints into the depth-sorted per-tile pair stream.
+
+    geom: optional (means (N,3), M9 (N,9) rows of S^-1 R^T, radius (N,)).
+    When given (config.pair_keys == "tile"), each pair's sort key is the
+    EXACT iso-ellipsoid event t of its gaussian along its own tile's central
+    ray, instead of one per-gaussian depth shared by all tiles. Rays inside
+    a tile deviate little from the tile's central ray, so per-tile key order
+    is close to exact per-ray order — this recovers the reference's per-ray
+    k-buffer ordering (shaders/tracer.cu:124-153) without any per-ray sort
+    in the march (measured: +10 dB PSNR vs per-gaussian keys on synthetic
+    scenes). Costs one wider packed gather in the expansion; the int32
+    columns ride in the float gather via bitcast.
+    """
     tw, th = config.tile_w, config.tile_h
-    tx_n = -(-camera.width // tw)
-    ty_n = -(-camera.height // th)
+    tx_n, ty_n = num_tiles(camera, config)
     n_tiles = tx_n * ty_n
-    span = config.max_tile_span
-    m_cap = config.max_per_tile
+    tile_bits, depth_bits = _depth_bits(n_tiles)
     n = fp.px.shape[0]
+    cap = pair_capacity
 
     # float-clip tile bounds before the int cast (projected centers of
     # near/behind-camera gaussians can be astronomically large)
@@ -144,73 +242,159 @@ def bin_tiles(
     x1 = jnp.clip(fx1, 0, tx_n - 1)
     y0 = jnp.clip(fy0, 0, ty_n - 1)
     y1 = jnp.clip(fy1, 0, ty_n - 1)
-    # footprints wider than the span cap in either axis go to the broadcast
-    # ("big") list instead of being cropped — they are merged into every
-    # tile's candidates by the renderer
-    is_big = on & (((x1 - x0 + 1) > span) | ((y1 - y0 + 1) > span))
-    on = on & ~is_big
     sw = x1 - x0 + 1
     sh = y1 - y0 + 1
-    count = jnp.where(on, sw * sh, 0)
+    count = jnp.where(on, sw * sh, 0)  # (N,)
 
-    offsets = jnp.cumsum(count) - count
+    offsets = jnp.cumsum(count) - count  # exclusive
     total = offsets[-1] + count[-1] if n else jnp.int32(0)
 
-    sentinel_tile = jnp.int32(n_tiles)
-    tiles_buf = jnp.full((pair_capacity + 1,), sentinel_tile, jnp.int32)
-    depth_buf = jnp.zeros((pair_capacity + 1,), jnp.float32)
-    gid_buf = jnp.full((pair_capacity + 1,), -1, jnp.int32)
+    # --- pair expansion: owner gaussian of each pair slot -----------------
+    # scatter-max each gaussian's id+1 at its first slot, forward-fill with a
+    # cumulative max. offsets are nondecreasing, so for any slot p the
+    # largest marked id at or before p is exactly the owning gaussian
+    # (zero-count gaussians share their successor's offset and lose the max).
     gids = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.minimum(offsets, cap)
+    buf = jnp.zeros((cap + 1,), jnp.int32).at[first].max(gids + 1)
+    gsrc = jax.lax.cummax(buf[:cap]) - 1  # (P,)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    valid = (slot < jnp.minimum(total, cap)) & (gsrc >= 0)
+    gsrc_safe = jnp.maximum(gsrc, 0)
 
-    def emit(k, bufs):
-        tiles_b, depth_b, gid_b = bufs
-        ok = k < count
-        kx = k % sw
-        ky = k // sw
-        tile = (y0 + ky) * tx_n + (x0 + kx)
-        pos = jnp.where(ok, jnp.minimum(offsets + k, pair_capacity), pair_capacity)
-        tiles_b = tiles_b.at[pos].set(jnp.where(ok, tile, sentinel_tile))
-        depth_b = depth_b.at[pos].set(fp.depth)
-        gid_b = gid_b.at[pos].set(gids)
-        return tiles_b, depth_b, gid_b
+    # --- per-pair context via ONE packed row gather ------------------------
+    use_tile_keys = geom is not None and config.pair_keys in ("tile", "tile_peak")
+    dq_g = _quantize_depth(fp.depth, depth_bits)
+    icols = [offsets, x0, y0, jnp.maximum(sw, 1), dq_g]
+    info_i = jnp.stack(icols, axis=1)
+    if use_tile_keys:
+        means, M9, radius = geom
+        info = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(info_i, jnp.float32),
+                means,
+                M9,
+                radius[:, None],
+                fp.depth[:, None],
+            ],
+            axis=1,
+        )  # (N, 19) single mixed-dtype gather table
+        rows_f = info[gsrc_safe]
+        rows = jax.lax.bitcast_convert_type(rows_f[:, :5], jnp.int32)
+    else:
+        rows = info_i[gsrc_safe]  # (P, 5)
+    r = slot - rows[:, 0]
+    tx = rows[:, 1] + r % rows[:, 3]
+    ty = rows[:, 2] + r // rows[:, 3]
+    tile = ty * tx_n + tx
 
-    tiles_buf, depth_buf, gid_buf = jax.lax.fori_loop(
-        0, span * span, emit, (tiles_buf, depth_buf, gid_buf)
+    if use_tile_keys:
+        # exact event t along this tile's central ray (ordering within a
+        # tile is scale-invariant, so the unnormalized direction is fine)
+        dcx, dcy, dcz = _tile_center_dirs(tx, ty, camera, config)
+        mx, my, mz = rows_f[:, 5], rows_f[:, 6], rows_f[:, 7]
+        m = [rows_f[:, 8 + k] for k in range(9)]
+        rad = rows_f[:, 17]
+        ex, ey, ez = camera.eye
+        ox, oy, oz = ex - mx, ey - my, ez - mz
+        ogx = m[0] * ox + m[1] * oy + m[2] * oz
+        ogy = m[3] * ox + m[4] * oy + m[5] * oz
+        ogz = m[6] * ox + m[7] * oy + m[8] * oz
+        dgx = m[0] * dcx + m[1] * dcy + m[2] * dcz
+        dgy = m[3] * dcx + m[4] * dcy + m[5] * dcz
+        dgz = m[6] * dcx + m[7] * dcy + m[8] * dcz
+        dd = jnp.maximum(dgx * dgx + dgy * dgy + dgz * dgz, 1e-12)
+        od = ogx * dgx + ogy * dgy + ogz * dgz
+        oo = ogx * ogx + ogy * ogy + ogz * ogz
+        dn = jnp.sqrt(dcx * dcx + dcy * dcy + dcz * dcz)
+        gkey = rows_f[:, 18]
+        if config.pair_keys == "tile_peak":
+            # peak-response t along the tile ray: smooth in the ray (no
+            # entry-sqrt grazing singularity), consistent for hit and miss
+            depth_pair = (-od / dd) * dn
+        else:  # "tile": iso-ellipsoid entry along the tile ray
+            disc = od * od - dd * (oo - rad * rad)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_entry = (-od - sq) / dd
+            t_exit = (-od + sq) / dd
+            t_event = jnp.where(t_entry > 0.0, t_entry, t_exit) * dn
+            # central miss: per-gaussian entry key (same entry-time units)
+            depth_pair = jnp.where(disc >= 0.0, t_event, gkey)
+        # dead rays (fisheye blank): per-gaussian key fallback
+        depth_pair = jnp.where(dn > 1e-6, depth_pair, gkey)
+        dq = _quantize_depth(depth_pair, depth_bits)
+    else:
+        dq = rows[:, 4]
+
+    key = jax.lax.shift_left(tile, depth_bits) | dq
+    key = jnp.where(valid, key, _INT32_MAX)
+    payload = jnp.where(valid, gsrc_safe, -1)
+    key_s, gid_s = jax.lax.sort_key_val(key, payload)
+
+    boundaries = jax.lax.shift_left(
+        jnp.arange(n_tiles + 1, dtype=jnp.int32), depth_bits
     )
-    tiles_buf = tiles_buf[:pair_capacity]
-    depth_buf = depth_buf[:pair_capacity]
-    gid_buf = gid_buf[:pair_capacity]
+    starts = jnp.searchsorted(key_s, boundaries).astype(jnp.int32)
+    n_dropped = jnp.maximum(total - cap, 0)
+    return PairStream(
+        gid=gid_s, key=key_s, starts=starts, n_pairs=total, n_dropped=n_dropped
+    )
 
-    # stable two-pass sort => (tile, depth) lexicographic order
-    perm1 = jnp.argsort(depth_buf, stable=True)
-    tiles1 = tiles_buf[perm1]
-    perm2 = jnp.argsort(tiles1, stable=True)
-    perm = perm1[perm2]
-    tiles_sorted = tiles1[perm2]
-    gid_sorted = gid_buf[perm]
 
-    starts = jnp.searchsorted(tiles_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32))
-    counts_t = jnp.diff(starts)
+def _tile_center_dirs(tx, ty, camera: Camera, config: RenderConfig):
+    """Unnormalized central-ray direction of tile (tx, ty), per pair.
+
+    Mirrors cameras.generate_rays at the tile-center pixel (pure math, no
+    gathers: the expansion stream stays gather-minimal).
+    """
+    U, V, W = camera.uvw_frame()
+    px = (tx.astype(jnp.float32) + 0.5) * config.tile_w
+    py = (ty.astype(jnp.float32) + 0.5) * config.tile_h
+    ndc_x = 2.0 * px / camera.width - 1.0
+    ndc_y = 2.0 * py / camera.height - 1.0
+    if config.camera_model == CameraModel.PINHOLE:
+        dx = ndc_x * -U[0] + ndc_y * -V[0] + W[0]
+        dy = ndc_x * -U[1] + ndc_y * -V[1] + W[1]
+        dz = ndc_x * -U[2] + ndc_y * -V[2] + W[2]
+    else:  # FISHEYE (shaders/tracer.cuh:136-165)
+        rr = jnp.sqrt(ndc_x * ndc_x + ndc_y * ndc_y)
+        f = config.fisheye_focal
+        theta = 2.0 * jnp.arcsin(jnp.clip(rr / (2.0 * f), -1.0, 1.0))
+        phi = jnp.arctan2(ndc_y, ndc_x)
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        lx, ly, lz = st * jnp.cos(phi), st * jnp.sin(phi), ct
+        live = (rr <= 1.0).astype(jnp.float32)
+        dx = (lx * -U[0] + ly * -V[0] + lz * W[0]) * live
+        dy = (lx * -U[1] + ly * -V[1] + lz * W[1]) * live
+        dz = (lx * -U[2] + ly * -V[2] + lz * W[2]) * live
+    return dx, dy, dz
+
+
+def bin_tiles(
+    fp: Footprint,
+    camera: Camera,
+    config: RenderConfig,
+    pair_capacity: int,
+    geom: tuple | None = None,
+) -> TileBinning:
+    """Fixed-capacity per-tile candidate lists (XLA tiled-march layout)."""
+    stream = bin_pairs(fp, camera, config, pair_capacity, geom=geom)
+    tx_n, ty_n = num_tiles(camera, config)
+    n_tiles = tx_n * ty_n
+    m_cap = config.max_per_tile
+
+    counts_t = jnp.diff(stream.starts)
     clipped = jnp.minimum(counts_t, m_cap)
-
     slots = jnp.arange(m_cap, dtype=jnp.int32)
-    pos = starts[:n_tiles, None] + slots[None, :]
+    pos = stream.starts[:n_tiles, None] + slots[None, :]
     valid = slots[None, :] < clipped[:, None]
-    cand = jnp.where(valid, gid_sorted[jnp.clip(pos, 0, pair_capacity - 1)], -1)
-
-    # broadcast list: big footprints, depth-sorted, bounded capacity
-    b_cap = config.big_capacity
-    big_key = jnp.where(is_big, fp.depth, jnp.inf)
-    big_order = jnp.argsort(big_key)[:b_cap]
-    big = jnp.where(is_big[big_order], big_order.astype(jnp.int32), -1)
-    n_big = jnp.sum(is_big.astype(jnp.int32))
-    big_dropped = jnp.maximum(n_big - b_cap, 0)
-
-    cap_dropped = jnp.maximum(total - pair_capacity, 0) + jnp.sum(counts_t - clipped)
+    cand = jnp.where(
+        valid, stream.gid[jnp.clip(pos, 0, pair_capacity - 1)], -1
+    )
+    tile_overflow = jnp.sum(counts_t - clipped)
     return TileBinning(
         cand=cand,
         counts=clipped,
-        big=big,
-        n_pairs=total,
-        n_dropped=cap_dropped + big_dropped,
+        n_pairs=stream.n_pairs,
+        n_dropped=stream.n_dropped + tile_overflow,
     )

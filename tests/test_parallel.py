@@ -78,7 +78,7 @@ def test_sharded_train_step_matches_single_device(scene):
     # keep the per-shard march tiny: 8 virtual devices share a few host
     # cores, and XLA's CPU collective rendezvous aborts if shards take
     # longer than its 40 s timeout to reach the psum
-    cfg = CFG.replace(max_per_tile=128, big_capacity=16)
+    cfg = CFG.replace(max_per_tile=128)
     cam = Camera.create(eye=(0, 0.3, 2.7), lookat=(0, 0, 0), width=64, height=32)
     model = GaussianModel.from_scene(
         random_scene(100, seed=5, mean_scale=0.05, density_scaling=False)
