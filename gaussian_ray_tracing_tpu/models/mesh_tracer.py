@@ -35,6 +35,7 @@ from gaussian_ray_tracing_tpu.cameras import Camera, generate_rays
 from gaussian_ray_tracing_tpu.config import MeshType, RenderConfig
 from gaussian_ray_tracing_tpu.models.oracle import render_rays_oracle
 from gaussian_ray_tracing_tpu.ops.intersect import closest_hit, reflect, refract_or_tir
+from gaussian_ray_tracing_tpu.ops.pallas_march import pallas_march_stream
 from gaussian_ray_tracing_tpu.scene.gaussians import GaussianScene
 from gaussian_ray_tracing_tpu.scene.mesh import TriangleMesh
 
@@ -194,7 +195,7 @@ def render_rays_with_mesh(
 
 
 @partial(jax.jit, static_argnames=("config", "loop_bound", "ray_chunk"))
-def render_with_mesh(
+def render_with_mesh_oracle(
     scene: GaussianScene,
     mesh: TriangleMesh,
     camera: Camera,
@@ -202,7 +203,8 @@ def render_with_mesh(
     loop_bound: int = 8,
     ray_chunk: int = 4096,
 ):
-    """Full-frame render with secondary-ray mesh effects."""
+    """Full-frame mesh render on the exact brute-force oracle (reference
+    semantics, O(rays x gaussians) per bounce — CPU / small-scene tool)."""
     origins, dirs, valid = generate_rays(camera, config)
     H, W = dirs.shape[:2]
     rgb, alpha = render_rays_with_mesh(
@@ -218,3 +220,242 @@ def render_with_mesh(
     rgb = jnp.where(valid[..., None], rgb, 0.0)
     alpha = jnp.where(valid, alpha.reshape(H, W), 0.0)
     return {"rgb": rgb, "alpha": alpha}
+
+
+def _mesh_hits_chunked(o, d, v0, v1, v2, t_min, t_max, ray_chunk: int = 8192):
+    """closest_hit over a large flat ray batch, chunked so the
+    (rays, face_chunk) intersection intermediates stay bounded."""
+    R = o.shape[0]
+    pad = (-R) % ray_chunk
+    if pad:
+        z = jnp.zeros((pad, 3), o.dtype)
+        o = jnp.concatenate([o, z], 0)
+        d = jnp.concatenate([d, z], 0)
+    n_chunks = o.shape[0] // ray_chunk
+    hits = jax.lax.map(
+        lambda args: closest_hit(args[0], args[1], v0, v1, v2, t_min, t_max),
+        (o.reshape(n_chunks, ray_chunk, 3), d.reshape(n_chunks, ray_chunk, 3)),
+    )
+    return jax.tree.map(lambda x: x.reshape(-1)[:R], hits)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config", "loop_bound", "pair_capacity", "block_capacity", "chunk",
+        "interpret",
+    ),
+)
+def render_with_mesh_fast(
+    scene: GaussianScene,
+    mesh: TriangleMesh,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+    loop_bound: int = 4,
+    pair_capacity: int | None = None,
+    block_capacity: int | None = None,
+    chunk: int | None = None,
+    interpret: bool | None = None,
+):
+    """Full-frame mesh render on the fused Pallas march.
+
+    Bounce 0 (primary rays, shared eye) marches the screen-space pair
+    stream with a per-ray t_hi at the mesh hit (tracer.cu:84-99). Bounced
+    segments (arbitrary origins/dirs) march morton blocks culled per tile
+    by an origin-sphere + direction-cone bound (ops/blocks.py) with per-ray
+    origins and carry-in transmittance — the TPU-native analog of tracing
+    secondary rays through the reference's shared BVH (tracer.cu:59-106).
+    Ordering within bounced segments is near-to-far block order refined by
+    the kernel's per-ray window sort.
+    """
+    import jax as _jax
+
+    from gaussian_ray_tracing_tpu.models.pallas_renderer import (
+        _interpret_default,
+        prepare_pair_stream,
+    )
+    from gaussian_ray_tracing_tpu.models.tiled import (
+        default_pair_capacity,
+        tile_rays,
+        untile_image,
+    )
+    from gaussian_ray_tracing_tpu.ops.blocks import (
+        block_stream,
+        build_block_index,
+        bundle_rays,
+        cull_blocks,
+    )
+    from gaussian_ray_tracing_tpu.ops.tiles import num_tiles
+
+    if interpret is None:
+        interpret = _interpret_default()
+    if chunk is None:
+        chunk = max(32, min(config.march_chunk, 256))
+    if pair_capacity is None:
+        pair_capacity = default_pair_capacity(scene.num_gaussians)
+
+    tx_n, ty_n = num_tiles(camera, config)
+    n_tiles = tx_n * ty_n
+    R = config.rays_per_tile
+    if block_capacity is None:
+        block_capacity = n_tiles * chunk * 8  # avg 8 blocks per tile
+    block_capacity = (block_capacity // chunk) * chunk
+
+    stream, pair_feats, table128, bound_radius = prepare_pair_stream(
+        scene, camera, config, pair_capacity, chunk
+    )
+    index = build_block_index(scene.means, bound_radius, block_size=chunk)
+    sorted_table = jnp.pad(table128[index.perm], ((0, chunk), (0, 0)))
+
+    origins, dirs, valid = generate_rays(camera, config)
+    H, W = dirs.shape[:2]
+    t2 = lambda x: tile_rays(x[..., None], config.tile_w, config.tile_h)[..., 0]
+    t3 = lambda x: tile_rays(x, config.tile_w, config.tile_h)
+    d_t = t3(dirs)
+    o_t = jnp.broadcast_to(camera.eye, d_t.shape)
+
+    wv = mesh.world_vertices()
+    wn = mesh.world_normals()
+    faces = mesh.faces
+    v0, v1, v2 = wv[faces[:, 0]], wv[faces[:, 1]], wv[faces[:, 2]]
+    glass_ratio = config.glass_ior / config.air_ior
+
+    zero3 = jnp.zeros((n_tiles, R, 3), jnp.float32)
+    zero = jnp.zeros((n_tiles, R), jnp.float32)
+    accum_color, direct_light = zero3, zero3
+    accum_alpha, blocking = zero, zero
+    bounces = jnp.zeros((n_tiles, R), jnp.int32)
+    trans = jnp.ones((n_tiles, R), jnp.float32)
+    done = jnp.zeros((n_tiles, R), bool)
+
+    for b in range(loop_bound):
+        live = (
+            (~done)
+            & (jnp.sum(d_t * d_t, axis=-1) > 0.01)
+            & (bounces < config.max_bounces)
+        )
+        d_live = jnp.where(live[..., None], d_t, 0.0)
+        hit = _mesh_hits_chunked(
+            o_t.reshape(-1, 3), d_live.reshape(-1, 3), v0, v1, v2,
+            config.mesh_t_min, config.mesh_t_max,
+        )
+        hit = jax.tree.map(lambda x: x.reshape(n_tiles, R), hit)
+        has_hit = (hit.face >= 0) & live
+        seg_hi = jnp.where(has_hit, hit.t, config.t_max)
+
+        if b == 0:
+            rgb_t, t_next = pallas_march_stream(
+                stream.starts, camera.eye.astype(jnp.float32), pair_feats,
+                d_live, config, n_tiles=n_tiles, rays_per_tile=R, chunk=chunk,
+                interpret=interpret, t_hi=seg_hi, t0=trans,
+            )
+        else:
+            bundles = bundle_rays(o_t, d_live)
+            visible = cull_blocks(index, bundles, config.t_max)
+            bstream = block_stream(visible, index, bundles, block_capacity)
+            rgb_t, t_next = pallas_march_stream(
+                bstream.starts, camera.eye.astype(jnp.float32), sorted_table,
+                d_live, config, n_tiles=n_tiles, rays_per_tile=R, chunk=chunk,
+                interpret=interpret, origins_t=o_t, t_hi=seg_hi, t0=trans,
+                block_offsets=bstream.blk,
+            )
+        rgb_seg = rgb_t
+        density_total = 1.0 - t_next
+
+        # --- miss -> last gaussian pass (tracer.cu:68-83) ---
+        miss = live & ~has_hit
+        direct_light = jnp.where(
+            miss[..., None], rgb_seg * density_total[..., None], direct_light
+        )
+        accum_alpha = jnp.where(
+            miss, jnp.clip(accum_alpha + density_total, 0.0, 1.0), accum_alpha
+        )
+
+        # --- hit -> mid-bounce accumulation (tracer.cu:84-99) ---
+        accum_color = jnp.where(
+            has_hit[..., None],
+            accum_color + (1.0 - accum_alpha)[..., None] * rgb_seg,
+            accum_color,
+        )
+        accum_alpha = jnp.where(
+            has_hit, jnp.clip(accum_alpha + density_total, 0.0, 1.0), accum_alpha
+        )
+        blocking = jnp.where(
+            has_hit, jnp.clip(blocking + density_total, 0.0, 1.0), blocking
+        )
+
+        normal = _interp_normal(wn, faces, jax.tree.map(lambda x: x.reshape(-1), hit))
+        normal = normal.reshape(n_tiles, R, 3)
+
+        if config.mesh_type == MeshType.MIRROR:
+            new_d = reflect(d_t, normal)
+            new_bounces = bounces + 1
+            t_shift = hit.t
+            terminate_hit = jnp.zeros_like(has_hit)
+        elif config.mesh_type == MeshType.GLASS:
+            new_d, reflected = refract_or_tir(d_t, normal, glass_ratio)
+            new_bounces = bounces + reflected.astype(bounces.dtype)
+            t_shift = hit.t + jnp.where(reflected, 0.0, config.refraction_eps_shift)
+            terminate_hit = jnp.zeros_like(has_hit)
+        elif config.mesh_type == MeshType.NORMAL:
+            normal_color = (normal + 1.0) * 0.5
+            add = rgb_seg + normal_color * (1.0 - density_total)[..., None]
+            accum_color = jnp.where(
+                has_hit[..., None],
+                accum_color - (1.0 - accum_alpha)[..., None] * rgb_seg + add,
+                accum_color,
+            )
+            accum_alpha = jnp.where(
+                has_hit,
+                jnp.clip(accum_alpha + (1.0 - density_total), 0.0, 1.0),
+                accum_alpha,
+            )
+            new_d = d_t
+            new_bounces = bounces
+            t_shift = hit.t
+            terminate_hit = has_hit
+        else:
+            raise ValueError(config.mesh_type)
+
+        accum_color = jnp.where(
+            live[..., None],
+            accum_color + direct_light * (1.0 - blocking)[..., None],
+            accum_color,
+        )
+
+        o_t = jnp.where(has_hit[..., None], o_t + t_shift[..., None] * d_t, o_t)
+        d_t = jnp.where(
+            has_hit[..., None] & ~terminate_hit[..., None],
+            new_d,
+            jnp.zeros_like(d_t),
+        )
+        bounces = jnp.where(has_hit, new_bounces, bounces)
+        trans = t_next
+        done = done | miss | terminate_hit | (~live)
+
+    rgb = untile_image(accum_color, H, W, config.tile_w, config.tile_h)
+    alpha = untile_image(
+        accum_alpha[..., None], H, W, config.tile_w, config.tile_h
+    )[..., 0]
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    alpha = jnp.where(valid, alpha, 0.0)
+    return {"rgb": rgb, "alpha": alpha}
+
+
+def render_with_mesh(
+    scene: GaussianScene,
+    mesh: TriangleMesh,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+    **kw,
+):
+    """Full-frame render with secondary-ray mesh effects.
+
+    Dispatches to the Pallas fast path on TPU (or when config.use_pallas),
+    else to the exact oracle path (CPU tests / small scenes)."""
+    import jax as _jax
+
+    if config.use_pallas or _jax.default_backend() == "tpu":
+        return render_with_mesh_fast(scene, mesh, camera, config, **kw)
+    return render_with_mesh_oracle(scene, mesh, camera, config, **kw)

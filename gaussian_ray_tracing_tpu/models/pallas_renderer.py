@@ -43,6 +43,43 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def prepare_pair_stream(
+    scene: GaussianScene,
+    camera: Camera,
+    config: RenderConfig,
+    pair_capacity: int,
+    chunk: int,
+):
+    """Primary-view frame prep shared by the plain and mesh-bounce renderers:
+    feature table -> tight footprints -> sorted pair stream -> ONE padded
+    per-pair feature gather (128 columns for lane-aligned kernel DMAs)."""
+    table, M, radius = feature_table(scene, config)
+    bound_radius = radius * jnp.max(scene.scales, axis=-1)
+    extents = camera_axis_extents(scene.scales, scene.quats, radius, camera)
+    fp = project_footprints(
+        scene.means, bound_radius, camera, config, extents=extents
+    )
+    # central-ray event depth key (same rule as models/tiled.prepare_frame)
+    rel = scene.means - camera.eye
+    rho = jnp.maximum(jnp.linalg.norm(rel, axis=-1), 1e-9)
+    hit, t_in, t_out = ray_ellipsoid_span(
+        scene.means, M, radius, camera.eye, rel / rho[:, None]
+    )
+    key = jnp.where(t_in >= config.t_min, t_in, t_out)
+    key = jnp.where(hit, key, rho)
+    fp = fp._replace(depth=key)
+
+    geom = (scene.means, M.reshape(-1, 9), radius)
+    stream = bin_pairs(fp, camera, config, pair_capacity, geom=geom)
+
+    F = table.shape[1]
+    if F < 128:
+        table = jnp.pad(table, ((0, 0), (0, 128 - F)))
+    pair_feats = table[jnp.maximum(stream.gid, 0)]
+    pair_feats = jnp.pad(pair_feats, ((0, chunk), (0, 0)))
+    return stream, pair_feats, table, bound_radius
+
+
 @partial(
     jax.jit,
     static_argnames=("config", "pair_capacity", "chunk", "interpret", "return_aux"),
@@ -68,40 +105,15 @@ def render_pallas(
         # kernel march/sort window; 256 = parity-grade ordering window
         chunk = max(32, min(config.march_chunk, 256))
 
-    table, M, radius = feature_table(scene, config)
-    bound_radius = radius * jnp.max(scene.scales, axis=-1)
-    extents = camera_axis_extents(scene.scales, scene.quats, radius, camera)
-    fp = project_footprints(
-        scene.means, bound_radius, camera, config, extents=extents
+    stream, pair_feats, _, _ = prepare_pair_stream(
+        scene, camera, config, pair_capacity, chunk
     )
-    # central-ray event depth key (same rule as models/tiled.prepare_frame)
-    rel = scene.means - camera.eye
-    rho = jnp.maximum(jnp.linalg.norm(rel, axis=-1), 1e-9)
-    hit, t_in, t_out = ray_ellipsoid_span(
-        scene.means, M, radius, camera.eye, rel / rho[:, None]
-    )
-    key = jnp.where(t_in >= config.t_min, t_in, t_out)
-    key = jnp.where(hit, key, rho)
-    fp = fp._replace(depth=key)
-
-    geom = (scene.means, M.reshape(-1, 9), radius)
-    stream = bin_pairs(fp, camera, config, pair_capacity, geom=geom)
-
-    # ONE packed per-pair feature gather. The table is column-padded to 128
-    # first: Mosaic requires HBM DMA slices lane-aligned to 128, and row
-    # gathers are row-count-bound so the extra columns are free. Rows are
-    # padded by `chunk` so the last DMA of the last tile never reads OOB.
-    F = table.shape[1]
-    if F < 128:
-        table = jnp.pad(table, ((0, 0), (0, 128 - F)))
-    pair_feats = table[jnp.maximum(stream.gid, 0)]
-    pair_feats = jnp.pad(pair_feats, ((0, chunk), (0, 0)))
 
     origins, dirs, valid = generate_rays(camera, config)
     dirs_t = tile_rays(dirs, config.tile_w, config.tile_h)  # (T, R, 3)
     tx_n, ty_n = num_tiles(camera, config)
 
-    rgb_t, alpha_t = pallas_march_stream(
+    rgb_t, t_final_t = pallas_march_stream(
         stream.starts,
         camera.eye.astype(jnp.float32),
         pair_feats,
@@ -114,6 +126,7 @@ def render_pallas(
     )
 
     H, W = camera.height, camera.width
+    alpha_t = 1.0 - t_final_t
     rgb = untile_image(rgb_t, H, W, config.tile_w, config.tile_h)
     alpha = untile_image(alpha_t[..., None], H, W, config.tile_w, config.tile_h)[..., 0]
     rgb = jnp.clip(rgb, 0.0, 1.0)

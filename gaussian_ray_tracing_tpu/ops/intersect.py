@@ -37,18 +37,32 @@ def moller_trumbore(
     triangles from rounding (OptiX traversal is watertight; brute-force
     Moller-Trumbore is not) — edge rays may hit both triangles at the same t,
     which closest-hit resolves harmlessly.
+
+    TPU layout note: all math is scalarized into per-component arrays so no
+    broadcast intermediate carries a trailing length-3 axis (XLA lane-pads
+    those to 128 — a 42x memory blowup at (rays, faces, 3) scale).
     """
-    e1 = v1 - v0
-    e2 = v2 - v0
-    p = jnp.cross(dirs, e2)
-    det = jnp.sum(e1 * p, axis=-1)
+    cx = lambda a, i: a[..., i]
+    ox, oy, oz = cx(origins, 0), cx(origins, 1), cx(origins, 2)
+    dx, dy, dz = cx(dirs, 0), cx(dirs, 1), cx(dirs, 2)
+    e1x, e1y, e1z = cx(v1, 0) - cx(v0, 0), cx(v1, 1) - cx(v0, 1), cx(v1, 2) - cx(v0, 2)
+    e2x, e2y, e2z = cx(v2, 0) - cx(v0, 0), cx(v2, 1) - cx(v0, 1), cx(v2, 2) - cx(v0, 2)
+
+    # p = dirs x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     ok = jnp.abs(det) > 1e-12
     inv_det = 1.0 / jnp.where(ok, det, 1.0)
-    tvec = origins - v0
-    u = jnp.sum(tvec * p, axis=-1) * inv_det
-    q = jnp.cross(tvec, e1)
-    v = jnp.sum(dirs * q, axis=-1) * inv_det
-    t = jnp.sum(e2 * q, axis=-1) * inv_det
+    tx, ty, tz = ox - cx(v0, 0), oy - cx(v0, 1), oz - cx(v0, 2)
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # q = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     hit = (
         ok
         & (u >= -edge_eps)

@@ -77,18 +77,24 @@ def _bitonic_sort(key, pay1, pay2, c: int):
 
 def _march_kernel(
     starts_ref,  # scalar prefetch: (T+1,) int32 pair-segment starts
-    eye_ref,  # scalar prefetch: (3,) float32 camera eye
+    eye_ref,  # scalar prefetch: (3,) float32 camera eye (shared-origin mode)
+    blocks_ref,  # scalar prefetch: block-mode chunk->block ids ((1,) dummy else)
     feats_hbm,  # (P_pad, F) float32 per-pair features, HBM-resident
-    dirs_ref,  # (1, 8, R) float32: rows 0..2 = dx, dy, dz of this tile
-    out_ref,  # (1, 8, R) float32: rows 0..2 rgb, row 3 final transmittance
-    acc,  # VMEM scratch (8, R): rows 0..2 rgb, row 3 transmittance
-    fbuf,  # VMEM scratch (2, c, F): double-buffered feature chunks
-    sems,  # DMA semaphores (2,)
-    *,
+    dirs_ref,  # (1, 8, R) float32: rows 0..2 = dir xyz, 3 = t_lo, 4 = t_hi,
+    #            5 = carry-in transmittance (segment chaining)
+    *rest,  # [orig_ref (1, 8, R): rows 0..2 origin xyz, if per_ray_origin]
+    #         out_ref, acc scratch, fbuf scratch, sems
     config: RenderConfig,
     c: int,
     R: int,
+    per_ray_origin: bool,
+    block_mode: bool,
 ):
+    if per_ray_origin:
+        orig_ref, out_ref, acc, fbuf, sems = rest
+    else:
+        out_ref, acc, fbuf, sems = rest
+        orig_ref = None
     t = pl.program_id(0)
     start = starts_ref[t]
     n = starts_ref[t + 1] - start
@@ -97,11 +103,12 @@ def _march_kernel(
 
     dirs = dirs_ref[0]  # (8, R)
     dx, dy, dz = dirs[0:1, :], dirs[1:2, :], dirs[2:3, :]  # (1, R)
+    t_lo, t_hi = dirs[3:4, :], dirs[4:5, :]  # (1, R) per-ray segment window
     live = dx * dx + dy * dy + dz * dz > 0.01  # |dir| > 0.1 (tracer.cu:59)
     ex, ey, ez = eye_ref[0], eye_ref[1], eye_ref[2]
 
     acc[0:3, :] = jnp.zeros((3, R), f32)
-    acc[3:4, :] = jnp.ones((1, R), f32)
+    acc[3:4, :] = dirs[5:6, :]  # carry-in transmittance
 
     # strictly-lower-triangular ones: exclusive prefix sums over candidates
     tri = (
@@ -116,8 +123,15 @@ def _march_kernel(
     basis = sh_basis_list(dx, dy, dz, sh_deg) if sh_deg > 0 else None
 
     def get_dma(slot, j):
+        if block_mode:
+            # chunk == block: the feature rows of chunk j live at the morton
+            # block's own contiguous range (ops/blocks.py) — no per-pair
+            # feature stream is ever materialized for bounced rays
+            ofs = blocks_ref[start // c + j] * c
+        else:
+            ofs = start + j * c
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(start + j * c, c), :],
+            feats_hbm.at[pl.ds(ofs, c), :],
             fbuf.at[slot],
             sems.at[slot],
         )
@@ -141,14 +155,20 @@ def _march_kernel(
             g = fbuf[slot]  # (c, F)
             col = lambda k: g[:, k : k + 1]  # (c, 1)
             m = [col(_M0 + k) for k in range(9)]
-            ox = ex - col(_MX)
-            oy = ey - col(_MY)
-            oz = ez - col(_MZ)
             op = col(_OP)
             rad = col(_RAD)
 
-            # canonical frame: o_g = M (eye - mu) per candidate, d_g = M d
-            ogx = m[0] * ox + m[1] * oy + m[2] * oz  # (c, 1)
+            # canonical frame: o_g = M (origin - mu), d_g = M d
+            if per_ray_origin:
+                orow = orig_ref[0]  # (8, R)
+                ox = orow[0:1, :] - col(_MX)  # (c, R)
+                oy = orow[1:2, :] - col(_MY)
+                oz = orow[2:3, :] - col(_MZ)
+            else:
+                ox = ex - col(_MX)  # (c, 1): rays share the eye
+                oy = ey - col(_MY)
+                oz = ez - col(_MZ)
+            ogx = m[0] * ox + m[1] * oy + m[2] * oz  # (c, 1) or (c, R)
             ogy = m[3] * ox + m[4] * oy + m[5] * oz
             ogz = m[6] * ox + m[7] * oy + m[8] * oz
             dgx = m[0] * dx + m[1] * dy + m[2] * dz  # (c, R)
@@ -157,7 +177,7 @@ def _march_kernel(
 
             dd = dgx * dgx + dgy * dgy + dgz * dgz
             od = ogx * dgx + ogy * dgy + ogz * dgz
-            oo = ogx * ogx + ogy * ogy + ogz * ogz  # (c, 1)
+            oo = ogx * ogx + ogy * ogy + ogz * ogz  # (c, 1) or (c, R)
 
             # max response along the ray (shaders/tracer.cuh:187-214)
             t_star = -od / jnp.maximum(dd, 1e-6)
@@ -172,8 +192,8 @@ def _march_kernel(
             inv_dd = 1.0 / jnp.maximum(dd, 1e-12)
             t_entry = (-od - sq) * inv_dd
             t_exit = (-od + sq) * inv_dd
-            t_event = jnp.where(t_entry < config.t_min, t_exit, t_entry)
-            in_window = (t_event >= config.t_min) & (t_event <= config.t_max)
+            t_event = jnp.where(t_entry < t_lo, t_exit, t_entry)
+            in_window = (t_event >= t_lo) & (t_event <= t_hi)
 
             present = cand_idx < (n - j * c)  # (c, 1) tail mask
             gate = (
@@ -272,25 +292,77 @@ def pallas_march_stream(
     rays_per_tile: int,
     chunk: int = 128,
     interpret: bool = False,
+    origins_t: jnp.ndarray | None = None,  # (T, R, 3) per-ray origins
+    t_lo: jnp.ndarray | None = None,  # (T, R) per-ray window, default t_min
+    t_hi: jnp.ndarray | None = None,  # (T, R) per-ray window, default t_max
+    t0: jnp.ndarray | None = None,  # (T, R) carry-in transmittance
+    block_offsets: jnp.ndarray | None = None,  # (cap_b,) morton block ids:
+    #   block mode (ops/blocks.py) — chunk j of tile t streams the feature
+    #   rows of block block_offsets[starts[t]//chunk + j]; `pair_feats` is
+    #   then the morton-SORTED feature table
 ):
-    """March every tile over its pair-stream segment. Returns (rgb (T,R,3),
-    alpha (T,R))."""
+    """March every tile over its pair-stream segment.
+
+    With the optional per-ray arguments this also serves bounced-segment
+    rendering (models/mesh_tracer.py): arbitrary per-ray origins, a per-ray
+    [t_lo, t_hi] window (the reference marches [t_min, t_hit] up to the mesh
+    hit, tracer.cu:84-99), and a carry-in transmittance for chaining
+    segments across bounces (rayData.density, tracer.cuh:334).
+
+    Returns (rgb (T, R, 3), t_final (T, R) transmittance carry-out).
+    """
     R = rays_per_tile
     F = pair_feats.shape[1]
-    # (T, 8, R) packed dirs: Mosaic block shapes need the last two dims to be
-    # (8k, 128k), so per-tile vectors ride in 8-row panels
+    # (T, 8, R) packed per-ray rows: Mosaic block shapes need the last two
+    # dims to be (8k, 128k), so per-tile vectors ride in 8-row panels.
+    # Rows: 0..2 dir xyz, 3 t_lo, 4 t_hi, 5 carry-in transmittance.
     dirs_pack = jnp.zeros((n_tiles, 8, R), jnp.float32)
     dirs_pack = dirs_pack.at[:, 0:3, :].set(
         jnp.transpose(dirs_t, (0, 2, 1)).astype(jnp.float32)
     )
+    dirs_pack = dirs_pack.at[:, 3, :].set(
+        jnp.full((n_tiles, R), config.t_min, jnp.float32) if t_lo is None else t_lo
+    )
+    dirs_pack = dirs_pack.at[:, 4, :].set(
+        jnp.full((n_tiles, R), config.t_max, jnp.float32) if t_hi is None else t_hi
+    )
+    dirs_pack = dirs_pack.at[:, 5, :].set(
+        jnp.ones((n_tiles, R), jnp.float32) if t0 is None else t0
+    )
 
-    kernel = functools.partial(_march_kernel, config=config, c=chunk, R=R)
+    per_ray_origin = origins_t is not None
+    block_mode = block_offsets is not None
+    blocks_arg = (
+        block_offsets if block_mode else jnp.zeros((1,), jnp.int32)
+    )
+    inputs = [starts, eye, blocks_arg, pair_feats, dirs_pack]
+    ray_specs = [
+        pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if per_ray_origin:
+        orig_pack = jnp.zeros((n_tiles, 8, R), jnp.float32)
+        orig_pack = orig_pack.at[:, 0:3, :].set(
+            jnp.transpose(origins_t, (0, 2, 1)).astype(jnp.float32)
+        )
+        inputs.append(orig_pack)
+        ray_specs.append(
+            pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+
+    kernel = functools.partial(
+        _march_kernel,
+        config=config,
+        c=chunk,
+        R=R,
+        per_ray_origin=per_ray_origin,
+        block_mode=block_mode,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # features stay in HBM
-            pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            *ray_specs,
         ],
         out_specs=pl.BlockSpec(
             (1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -306,6 +378,6 @@ def pallas_march_stream(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, R), jnp.float32),
         interpret=interpret,
-    )(starts, eye, pair_feats, dirs_pack)
+    )(*inputs)
     rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))  # (T, R, 3)
-    return rgb, 1.0 - out[:, 3, :]
+    return rgb, out[:, 3, :]

@@ -78,3 +78,57 @@ class TestPallasParity:
         alpha = np.asarray(b["alpha"])
         assert np.abs(rgb[0, 0]).max() == 0.0
         assert alpha[0, 0] == 0.0
+
+
+class TestMeshFast:
+    """Fast (Pallas, block-culled) mesh tracer vs the exact oracle tracer."""
+
+    @pytest.mark.parametrize("mesh_type", ["NORMAL", "MIRROR", "GLASS"])
+    def test_fast_vs_oracle(self, mesh_type):
+        from gaussian_ray_tracing_tpu.config import MeshType
+        from gaussian_ray_tracing_tpu.models.mesh_tracer import (
+            render_with_mesh_fast,
+            render_with_mesh_oracle,
+        )
+        from gaussian_ray_tracing_tpu.scene.mesh import make_plane
+
+        scene = random_scene(2000, seed=4)
+        cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                            width=64, height=48)
+        mesh = make_plane(np.array([0.0, 0.0, 1.2], np.float32))
+        cfg = RenderConfig(
+            hit_multiplicity=1, order="window", march_chunk=256,
+            mesh_type=MeshType[mesh_type], max_per_tile=4096,
+        )
+        a = render_with_mesh_oracle(scene, mesh, cam, cfg, loop_bound=4)
+        b = render_with_mesh_fast(scene, mesh, cam, cfg, loop_bound=4)
+        assert float(psnr(a["rgb"], b["rgb"])) > 40.0
+
+
+class TestBlocks:
+    def test_block_bounds_contain_gaussians(self):
+        import jax.numpy as jnp
+        from gaussian_ray_tracing_tpu.ops.blocks import build_block_index
+
+        scene = random_scene(1000, seed=9)
+        bound = jnp.ones((1000,)) * 0.05
+        idx = build_block_index(scene.means, bound, block_size=128)
+        sorted_means = scene.means[idx.perm]
+        for b in range(idx.centers.shape[0]):
+            seg = sorted_means[b * 128 : (b + 1) * 128]
+            d = np.linalg.norm(np.asarray(seg) - np.asarray(idx.centers[b]), axis=-1)
+            assert np.all(d + 0.05 <= np.asarray(idx.radii[b]) + 1e-5)
+
+    def test_morton_locality(self):
+        from gaussian_ray_tracing_tpu.ops.blocks import morton_codes
+
+        scene = random_scene(4000, seed=2)
+        code = np.asarray(morton_codes(scene.means))
+        perm = np.argsort(code)
+        pts = np.asarray(scene.means)[perm]
+        n = pts.shape[0]
+        # adjacent points along the curve are much closer than random pairs
+        adj = np.linalg.norm(np.diff(pts, axis=0), axis=-1).mean()
+        rperm = np.random.default_rng(0).permutation(n - 1)
+        rnd = np.linalg.norm(pts[:-1] - pts[rperm], axis=-1).mean()
+        assert adj < 0.5 * rnd
