@@ -75,8 +75,13 @@ def prepare_pair_stream(
     F = table.shape[1]
     if F < 128:
         table = jnp.pad(table, ((0, 0), (0, 128 - F)))
-    pair_feats = table[jnp.maximum(stream.gid, 0)]
-    pair_feats = jnp.pad(pair_feats, ((0, chunk), (0, 0)))
+    # extend gid by `chunk` slots BEFORE the gather (the last DMA of the
+    # last tile may read past starts[-1]); padding the gathered array
+    # instead would copy the whole stream a second time
+    gid_ext = jnp.concatenate(
+        [stream.gid, jnp.zeros((chunk,), stream.gid.dtype)]
+    )
+    pair_feats = table[jnp.maximum(gid_ext, 0)]
     return stream, pair_feats, table, bound_radius
 
 

@@ -53,9 +53,9 @@ def _roll(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     return pltpu.roll(x, shift % c, axis=0)
 
 
-def _bitonic_sort(key, pay1, pay2, c: int):
+def _bitonic_sort(key, payload, c: int):
     """Ascending per-lane bitonic sort of (c, R) arrays along the candidate
-    axis with two payloads. XOR-partner exchanges are expressed as two
+    axis with one payload. XOR-partner exchanges are expressed as two
     sublane rolls + selects (no per-lane addressing exists on TPU)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
     n_lv = c.bit_length() - 1
@@ -65,14 +65,12 @@ def _bitonic_sort(key, pay1, pay2, c: int):
             d = 1 << j
             hi = (idx & d) != 0
             pk = jnp.where(hi, _roll(key, d), _roll(key, -d))
-            p1 = jnp.where(hi, _roll(pay1, d), _roll(pay1, -d))
-            p2 = jnp.where(hi, _roll(pay2, d), _roll(pay2, -d))
+            p1 = jnp.where(hi, _roll(payload, d), _roll(payload, -d))
             keep_min = hi == desc
             take = (pk < key) == keep_min
             key = jnp.where(take, pk, key)
-            pay1 = jnp.where(take, p1, pay1)
-            pay2 = jnp.where(take, p2, pay2)
-    return key, pay1, pay2
+            payload = jnp.where(take, p1, payload)
+    return key, payload
 
 
 def _march_kernel(
@@ -226,12 +224,26 @@ def _march_kernel(
                 # per-ray bitonic sort of this chunk by exact event t
                 # (bounded-window exact ordering, tracer.cu:124-153 k-buffer
                 # semantics at window width c). Zero-alpha entries key to
-                # +inf: their position in the prefix product is irrelevant
-                # (log(1-0)=0), only significant hits need relative order.
-                # Colors ride as one 3x10-bit packed int payload (1/256
-                # steps over [0,4); the output is RGB8-quantized anyway,
+                # the int32 max: their position in the prefix product is
+                # irrelevant (log(1-0)=0), only significant hits need
+                # relative order. The sort moves TWO int32 arrays total:
+                # key = (t quantized to 16 bits within the chunk's range |
+                # alpha in 16 bits) and a 3x10-bit packed color (1/256 steps
+                # over [0,4); output is RGB8-quantized anyway,
                 # shaders/tracer.cuh:484).
-                skey = jnp.where(a > 0.0, t_event, jnp.inf)
+                gated_t = jnp.where(a > 0.0, t_event, jnp.inf)
+                t_min_c = jnp.min(gated_t)
+                t_max_c = jnp.max(jnp.where(a > 0.0, t_event, -jnp.inf))
+                t_rng = jnp.maximum(t_max_c - t_min_c, 1e-20)
+                tq = jnp.clip(
+                    (t_event - t_min_c) * (65534.0 / t_rng), 0.0, 65534.0
+                ).astype(jnp.int32)
+                aq = jnp.clip(a * 32767.0, 0.0, 32767.0).astype(jnp.int32)
+                skey = jnp.where(
+                    a > 0.0,
+                    jax.lax.shift_left(tq, 15) | aq,
+                    jnp.int32(2147483647),
+                )
                 q = lambda x: jnp.clip(x * 255.75, 0.0, 1023.0).astype(jnp.int32)
                 cpack = (
                     jax.lax.shift_left(q(colors[0]), 20)
@@ -239,7 +251,10 @@ def _march_kernel(
                     | q(colors[2])
                 )
                 cpack = jnp.broadcast_to(cpack, (c, R))
-                skey, a, cpack = _bitonic_sort(skey, a, cpack, c)
+                skey, cpack = _bitonic_sort(skey, cpack, c)
+                a = jnp.where(
+                    skey == 2147483647, 0.0, (skey & 32767).astype(f32) / 32767.0
+                )
                 unq = lambda x: x.astype(f32) * (1.0 / 255.75)
                 mask10 = jnp.int32(1023)
                 colors = [

@@ -92,16 +92,18 @@ class TestMeshFast:
         )
         from gaussian_ray_tracing_tpu.scene.mesh import make_plane
 
-        scene = random_scene(2000, seed=4)
+        scene = random_scene(1200, seed=4)
         cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
-                            width=64, height=48)
+                            width=48, height=32)
         mesh = make_plane(np.array([0.0, 0.0, 1.2], np.float32))
+        # chunk 256 = parity-grade ordering window (glass needs it: bounced
+        # refraction segments have the most cross-chunk inversions)
         cfg = RenderConfig(
             hit_multiplicity=1, order="window", march_chunk=256,
             mesh_type=MeshType[mesh_type], max_per_tile=4096,
         )
-        a = render_with_mesh_oracle(scene, mesh, cam, cfg, loop_bound=4)
-        b = render_with_mesh_fast(scene, mesh, cam, cfg, loop_bound=4)
+        a = render_with_mesh_oracle(scene, mesh, cam, cfg, loop_bound=2)
+        b = render_with_mesh_fast(scene, mesh, cam, cfg, loop_bound=2)
         assert float(psnr(a["rgb"], b["rgb"])) > 40.0
 
 
