@@ -217,6 +217,12 @@ def march_tile_chunk(
 
         return (t_next, *accs), None
 
+    # remat: the backward pass recomputes each chunk's (Tc, R, mc) work
+    # arrays instead of saving them across the scan (without this a 512^2
+    # training step wants ~25 GB of saved activations; with it, gradients
+    # fit in HBM at ~2x forward flops — the flash-attention-style tradeoff)
+    step = jax.checkpoint(step)
+
     pad = n_steps * mc - m_cap
     to_chunks = lambda x, fill: jnp.transpose(
         (jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill) if pad else x)
