@@ -60,7 +60,16 @@ def _read_header(f) -> Tuple[str, int, list[tuple[str, str]], int]:
 
 
 def read_ply_raw(path: str) -> Dict[str, np.ndarray]:
-    """Read the vertex element into a dict of named float32 columns."""
+    """Read the vertex element into a dict of named float32 columns.
+
+    Tries the native C++ parser first (native/grtcore.cpp, the analog of
+    the reference's happly usage, src/GaussianData.cpp:20-23); falls back
+    to the pure-NumPy reader for formats it does not handle."""
+    from gaussian_ray_tracing_tpu.native.bindings import ply_read_native
+
+    cols = ply_read_native(path)
+    if cols is not None:
+        return cols
     with open(path, "rb") as f:
         fmt, count, props, _ = _read_header(f)
         names = [n for n, _ in props]
