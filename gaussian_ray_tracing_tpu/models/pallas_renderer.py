@@ -72,6 +72,10 @@ def prepare_pair_stream(
     geom = (scene.means, M.reshape(-1, 9), radius)
     stream = bin_pairs(fp, camera, config, pair_capacity, geom=geom)
 
+    # pad feature columns to 128: Mosaic tiles HBM arrays at 128 lanes and
+    # requires DMA slices aligned to that tiling (a narrower minor dim was
+    # tried and rejected by the compiler), and row gathers cost the same
+    # at any width up to 128
     F = table.shape[1]
     if F < 128:
         table = jnp.pad(table, ((0, 0), (0, 128 - F)))

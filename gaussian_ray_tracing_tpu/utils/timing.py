@@ -1,7 +1,7 @@
 """Timing / profiling helpers.
 
 Replaces the reference's std::chrono frame-phase timers + ImGui FPS overlay
-(src/main.cpp:84-118, src/gui.cpp:444-491) with a block_until_ready
+(src/main.cpp:84-118, src/gui.cpp:444-491) with a fetch-synchronized
 benchmark harness and optional jax.profiler traces.
 """
 
