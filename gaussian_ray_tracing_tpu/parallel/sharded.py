@@ -207,3 +207,95 @@ def render_gaussian_sharded(
     rgb = jnp.where(valid[..., None], rgb, 0.0)
     density = jnp.where(valid, density[:R].reshape(H, W_px), 0.0)
     return {"rgb": rgb, "alpha": density}
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "mesh", "pair_capacity", "chunk", "interpret"),
+)
+def render_pallas_sharded(
+    scene: GaussianScene,
+    camera: Camera,
+    config: RenderConfig,
+    mesh: Mesh,
+    pair_capacity: int | None = None,
+    chunk: int | None = None,
+    interpret: bool | None = None,
+):
+    """Fused-Pallas forward with image tiles sharded over 'rays'.
+
+    Binning and the pair-feature stream are computed replicated (cheap
+    relative to the march and needed in full by every shard's kernel DMA);
+    each device runs the fused march kernel over its own contiguous tile
+    range of the stream. This is ray data parallelism for the production
+    forward path — the embarrassingly parallel axis the single-GPU
+    reference cannot use (SURVEY.md parallelism census).
+    """
+    from gaussian_ray_tracing_tpu.models.pallas_renderer import (
+        _interpret_default,
+        prepare_pair_stream,
+    )
+    from gaussian_ray_tracing_tpu.models.tiled import (
+        default_pair_capacity,
+        tile_rays,
+        untile_image,
+    )
+    from gaussian_ray_tracing_tpu.ops.pallas_march import pallas_march_stream
+    from gaussian_ray_tracing_tpu.ops.tiles import num_tiles
+
+    if interpret is None:
+        interpret = _interpret_default()
+    if chunk is None:
+        chunk = max(32, min(config.march_chunk, 256))
+    if pair_capacity is None:
+        pair_capacity = default_pair_capacity(scene.num_gaussians)
+    n_dev = mesh.shape[RAY_AXIS]
+    R = config.rays_per_tile
+
+    stream, pair_feats, _, _ = prepare_pair_stream(
+        scene, camera, config, pair_capacity, chunk
+    )
+    origins, dirs, valid = generate_rays(camera, config)
+    dirs_t = tile_rays(dirs, config.tile_w, config.tile_h)
+    tx_n, ty_n = num_tiles(camera, config)
+    T = tx_n * ty_n
+    T_local = -(-T // n_dev)
+    pad_t = n_dev * T_local - T
+    if pad_t:
+        dirs_t = jnp.pad(dirs_t, ((0, pad_t), (0, 0), (0, 0)))
+    # per-shard (T_local + 1) start windows (padded tiles are empty: their
+    # starts repeat starts[T], i.e. zero-length segments)
+    starts_full = jnp.concatenate(
+        [stream.starts, jnp.full((pad_t,), stream.starts[T], jnp.int32)]
+    )
+    shard_starts = jnp.stack(
+        [
+            jax.lax.dynamic_slice(starts_full, (d * T_local,), (T_local + 1,))
+            for d in range(n_dev)
+        ]
+    )  # (n_dev, T_local + 1)
+
+    def local(starts_l, dirs_l, feats_l, eye_l):
+        rgb_l, t_l = pallas_march_stream(
+            starts_l[0], eye_l, feats_l, dirs_l, config,
+            n_tiles=T_local, rays_per_tile=R, chunk=chunk, interpret=interpret,
+        )
+        return rgb_l, t_l
+
+    rgb_t, t_final = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(), P()),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+        check_vma=False,
+    )(shard_starts, dirs_t.reshape(n_dev, T_local, R, 3).reshape(n_dev * T_local, R, 3), pair_feats, camera.eye.astype(jnp.float32))
+
+    H, W = camera.height, camera.width
+    rgb = untile_image(rgb_t[:T], H, W, config.tile_w, config.tile_h)
+    alpha = untile_image(
+        (1.0 - t_final[:T])[..., None], H, W, config.tile_w, config.tile_h
+    )[..., 0]
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    alpha = jnp.where(valid, alpha, 0.0)
+    return {"rgb": rgb, "alpha": alpha}

@@ -101,3 +101,20 @@ def test_sharded_train_step_matches_single_device(scene):
     for _ in range(3):
         s, m = step_sharded(s, cam, target)
     assert float(m["loss"]) < prev
+
+
+def test_pallas_sharded_matches_single():
+    """Fused-Pallas forward with tiles sharded over 'rays' is bit-identical
+    to the single-device kernel (pure ray data parallelism)."""
+    from gaussian_ray_tracing_tpu.models.pallas_renderer import render_pallas
+    from gaussian_ray_tracing_tpu.parallel.sharded import render_pallas_sharded
+
+    scene = random_scene(2000, seed=3)
+    cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                        width=96, height=64)
+    cfg = CFG.replace(order="key")
+    mesh = make_mesh(8)
+    a = render_pallas(scene, cam, cfg, pair_capacity=100_000)
+    b = render_pallas_sharded(scene, cam, cfg, mesh, pair_capacity=100_000)
+    np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+    np.testing.assert_array_equal(np.asarray(a["alpha"]), np.asarray(b["alpha"]))
