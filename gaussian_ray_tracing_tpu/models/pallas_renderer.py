@@ -145,3 +145,68 @@ def render_pallas(
     if return_aux:
         out["aux"] = {"n_pairs": stream.n_pairs, "n_dropped": stream.n_dropped}
     return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "pair_capacity", "chunk", "interpret"),
+)
+def render_pallas_diff(
+    scene: GaussianScene,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+    pair_capacity: int | None = None,
+    chunk: int | None = None,
+    interpret: bool | None = None,
+):
+    """Differentiable full-frame render on the fused Pallas kernels.
+
+    Forward = the march kernel; backward = the hand-written reverse-sweep
+    kernel (ops/pallas_march.py): per-pair feature gradients flow through
+    the packed feature gather's transpose (a scatter-add over pairs) into
+    the feature table and from there into scene parameters — gradients
+    w.r.t. means, covariance (via the S^-1 R^T rows), opacity, and SH, as
+    the BASELINE north star specifies. Binning structure (which pairs
+    exist, their order) is non-differentiable, exactly like the tiled XLA
+    path and 3DGS rasterizers.
+
+    Key ordering only (the training configuration); window-order training
+    falls back to the XLA tiled path.
+    """
+    from gaussian_ray_tracing_tpu.ops.pallas_march import march_stream_diff
+
+    if config.order != "key":
+        config = config.replace(order="key")
+    if interpret is None:
+        interpret = _interpret_default()
+    if pair_capacity is None:
+        pair_capacity = default_pair_capacity(scene.num_gaussians)
+    if chunk is None:
+        chunk = max(32, min(config.march_chunk, 256))
+
+    stream, pair_feats, _, _ = prepare_pair_stream(
+        scene, camera, config, pair_capacity, chunk
+    )
+    origins, dirs, valid = generate_rays(camera, config)
+    dirs_t = tile_rays(dirs, config.tile_w, config.tile_h)
+    tx_n, ty_n = num_tiles(camera, config)
+
+    rgb_t, t_final_t = march_stream_diff(
+        stream.starts,
+        camera.eye.astype(jnp.float32),
+        pair_feats,
+        dirs_t,
+        config,
+        tx_n * ty_n,
+        config.rays_per_tile,
+        chunk,
+        interpret,
+    )
+    H, W = camera.height, camera.width
+    alpha_t = 1.0 - t_final_t
+    rgb = untile_image(rgb_t, H, W, config.tile_w, config.tile_h)
+    alpha = untile_image(alpha_t[..., None], H, W, config.tile_w, config.tile_h)[..., 0]
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    alpha = jnp.where(valid, alpha, 0.0)
+    return {"rgb": rgb, "alpha": alpha}

@@ -77,22 +77,30 @@ def _march_kernel(
     starts_ref,  # scalar prefetch: (T+1,) int32 pair-segment starts
     eye_ref,  # scalar prefetch: (3,) float32 camera eye (shared-origin mode)
     blocks_ref,  # scalar prefetch: block-mode chunk->block ids ((1,) dummy else)
+    chunk_base_ref,  # scalar prefetch: (T+1,) int32 global chunk index of each
+    #   tile's first chunk (save_tin mode; (1,) dummy otherwise)
     feats_hbm,  # (P_pad, F) float32 per-pair features, HBM-resident
     dirs_ref,  # (1, 8, R) float32: rows 0..2 = dir xyz, 3 = t_lo, 4 = t_hi,
     #            5 = carry-in transmittance (segment chaining)
     *rest,  # [orig_ref (1, 8, R): rows 0..2 origin xyz, if per_ray_origin]
-    #         out_ref, acc scratch, fbuf scratch, sems
+    #         out_ref, [tin_hbm (chunk_cap, R) if save_tin],
+    #         acc scratch, fbuf scratch, sems, [tin_sem if save_tin]
     config: RenderConfig,
     c: int,
     R: int,
     per_ray_origin: bool,
     block_mode: bool,
+    save_tin: bool,
 ):
-    if per_ray_origin:
-        orig_ref, out_ref, acc, fbuf, sems = rest
+    rest = list(rest)
+    orig_ref = rest.pop(0) if per_ray_origin else None
+    out_ref = rest.pop(0)
+    tin_hbm = rest.pop(0) if save_tin else None
+    if save_tin:
+        acc, fbuf, sems, tin_sem = rest
     else:
-        out_ref, acc, fbuf, sems = rest
-        orig_ref = None
+        acc, fbuf, sems = rest
+        tin_sem = None
     t = pl.program_id(0)
     start = starts_ref[t]
     n = starts_ref[t + 1] - start
@@ -147,6 +155,20 @@ def _march_kernel(
 
         get_dma(slot, j).wait()
         t_carry = acc[3:4, :]  # (1, R)
+
+        if save_tin:
+            # carry-in transmittance of every chunk, for the hand-written
+            # backward sweep (unique slot per (tile, chunk): chunk_base is
+            # the exclusive cumsum of per-tile chunk counts). The whole
+            # 8-row acc panel is stored: Mosaic DMA slices must be
+            # sublane-tile (8) aligned, single rows are not.
+            tin_dma = pltpu.make_async_copy(
+                acc,
+                tin_hbm.at[chunk_base_ref[t] + j],
+                tin_sem,
+            )
+            tin_dma.start()
+            tin_dma.wait()
 
         @pl.when(jnp.max(t_carry) > config.min_transmittance)
         def _():
@@ -295,7 +317,8 @@ def _march_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "n_tiles", "rays_per_tile", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("config", "n_tiles", "rays_per_tile", "chunk", "interpret", "save_tin"),
 )
 def pallas_march_stream(
     starts: jnp.ndarray,  # (T+1,) int32
@@ -315,6 +338,9 @@ def pallas_march_stream(
     #   block mode (ops/blocks.py) — chunk j of tile t streams the feature
     #   rows of block block_offsets[starts[t]//chunk + j]; `pair_feats` is
     #   then the morton-SORTED feature table
+    save_tin: bool = False,  # additionally return each chunk's carry-in
+    #   transmittance (chunk_cap, R) + the chunk_base index (for the
+    #   hand-written backward kernel)
 ):
     """March every tile over its pair-stream segment.
 
@@ -350,7 +376,16 @@ def pallas_march_stream(
     blocks_arg = (
         block_offsets if block_mode else jnp.zeros((1,), jnp.int32)
     )
-    inputs = [starts, eye, blocks_arg, pair_feats, dirs_pack]
+    if save_tin:
+        counts = jnp.diff(starts)
+        chunk_base = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(-(-counts // chunk)).astype(jnp.int32)]
+        )
+        chunk_cap = pair_feats.shape[0] // chunk + n_tiles + 1
+    else:
+        chunk_base = jnp.zeros((1,), jnp.int32)
+    inputs = [starts, eye, blocks_arg, chunk_base, pair_feats, dirs_pack]
     ray_specs = [
         pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
@@ -371,28 +406,391 @@ def pallas_march_stream(
         R=R,
         per_ray_origin=per_ray_origin,
         block_mode=block_mode,
+        save_tin=save_tin,
     )
+    out_specs = pl.BlockSpec(
+        (1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n_tiles, 8, R), jnp.float32)
+    scratch = [
+        pltpu.VMEM((8, R), jnp.float32),
+        pltpu.VMEM((2, chunk, F), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if save_tin:
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((chunk_cap, 8, R), jnp.float32),
+        )
+        scratch = scratch + [pltpu.SemaphoreType.DMA(())]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # features stay in HBM
             *ray_specs,
         ],
-        out_specs=pl.BlockSpec(
-            (1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((8, R), jnp.float32),
-            pltpu.VMEM((2, chunk, F), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, R), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
+    if save_tin:
+        out, tin = out
+        rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))  # (T, R, 3)
+        return rgb, out[:, 3, :], tin, chunk_base
     rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))  # (T, R, 3)
     return rgb, out[:, 3, :]
+
+
+def _march_bwd_kernel(
+    starts_ref,  # scalar prefetch: (T+1,) int32
+    eye_ref,  # scalar prefetch: (3,) float32
+    chunk_base_ref,  # scalar prefetch: (T+1,) int32
+    feats_hbm,  # (P_pad, F) float32 features
+    tin_hbm,  # (chunk_cap, R) float32 per-chunk carry-in transmittance
+    dirs_ref,  # (1, 8, R) rows 0..2 dir, 3 t_lo, 4 t_hi
+    dout_ref,  # (1, 8, R) rows 0..2 d_rgb of this tile, row 3 d_t_final
+    dfeats_hbm,  # OUT (P_pad, F) float32 per-pair feature gradients
+    acc,  # scratch (8, R): row 0 = dT carry
+    fbuf,  # scratch (2, c, F)
+    gbuf,  # scratch (c, F) gradient assembly
+    tbuf,  # scratch (1, R) carry-in transmittance of the current chunk
+    sems,  # DMA sems (2,)
+    wsem,  # write sem
+    tsem,  # tin sem
+    *,
+    config: RenderConfig,
+    c: int,
+    R: int,
+):
+    """Hand-written backward of the fused march (key order, shared origin).
+
+    Runs each tile's chunks in REVERSE, recomputing the forward response /
+    prefix-product quantities from the streamed features (flash-attention
+    style: nothing but the per-chunk carry-in transmittance is saved), and
+    produces gradients w.r.t. every per-pair feature row. Stream rows are
+    owned by exactly one (tile, chunk), so grads are written, not
+    accumulated; a tail chunk's overshoot rows are written as zeros and
+    then overwritten by the owning tile's later grid step (grid steps are
+    sequential). Early-termination is treated as a non-differentiable
+    cutoff, as in 3DGRT's backward.
+    """
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    n = starts_ref[t + 1] - start
+    n_chunks = pl.cdiv(n, c)
+    f32 = jnp.float32
+    minT = config.min_transmittance
+
+    dirs = dirs_ref[0]
+    dx, dy, dz = dirs[0:1, :], dirs[1:2, :], dirs[2:3, :]
+    t_lo, t_hi = dirs[3:4, :], dirs[4:5, :]
+    live = dx * dx + dy * dy + dz * dz > 0.01
+    ex, ey, ez = eye_ref[0], eye_ref[1], eye_ref[2]
+
+    dout = dout_ref[0]
+    dR = [dout[ch : ch + 1, :] for ch in range(3)]  # (1, R) each
+    acc[0:1, :] = dout[3:4, :]  # dT carry (d wrt this chunk's carry-OUT)
+
+    tri_lo = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    ).astype(f32)
+    tri_up = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    ).astype(f32)
+    cand_idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+
+    sh_deg = config.sh_degree
+    K = num_coeffs(sh_deg)
+    basis = sh_basis_list(dx, dy, dz, sh_deg) if sh_deg > 0 else None
+
+    def feat_dma(slot, j):
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start + j * c, c), :], fbuf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        feat_dma(0, n_chunks - 1).start()
+
+    def body(jj, _):
+        j = n_chunks - 1 - jj  # reverse order
+        slot = jj % 2
+
+        @pl.when(jj + 1 < n_chunks)
+        def _():
+            feat_dma((jj + 1) % 2, j - 1).start()
+
+        feat_dma(slot, j).wait()
+        tin_dma = pltpu.make_async_copy(
+            tin_hbm.at[chunk_base_ref[t] + j], tbuf, tsem
+        )
+        tin_dma.start()
+        tin_dma.wait()
+        t_in = tbuf[3:4, :]  # (1, R) carry-in transmittance
+        dT = acc[0:1, :]
+
+        gbuf[:, :] = jnp.zeros_like(gbuf)
+
+        @pl.when(jnp.max(t_in) > minT)
+        def _():
+            g = fbuf[slot]  # (c, F)
+            col = lambda k: g[:, k : k + 1]
+            m = [col(_M0 + k) for k in range(9)]
+            op = col(_OP)
+            rad = col(_RAD)
+            ox = ex - col(_MX)
+            oy = ey - col(_MY)
+            oz = ez - col(_MZ)
+
+            # ---- forward recompute (matches _march_kernel, key order) ----
+            ogx = m[0] * ox + m[1] * oy + m[2] * oz
+            ogy = m[3] * ox + m[4] * oy + m[5] * oz
+            ogz = m[6] * ox + m[7] * oy + m[8] * oz
+            dgx = m[0] * dx + m[1] * dy + m[2] * dz
+            dgy = m[3] * dx + m[4] * dy + m[5] * dz
+            dgz = m[6] * dx + m[7] * dy + m[8] * dz
+            dd = dgx * dgx + dgy * dgy + dgz * dgz
+            od = ogx * dgx + ogy * dgy + ogz * dgz
+            oo = ogx * ogx + ogy * ogy + ogz * ogz
+            dd_s = jnp.maximum(dd, 1e-6)
+            t_star = -od / dd_s
+            pp = oo + t_star * (2.0 * od + t_star * dd)
+            resp = jnp.exp(-0.5 * jnp.maximum(pp, 0.0))
+            alpha = jnp.minimum(config.alpha_clamp, resp * op)
+            cq = oo - rad * rad
+            disc = od * od - dd * cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            inv_dd = 1.0 / jnp.maximum(dd, 1e-12)
+            t_entry = (-od - sq) * inv_dd
+            t_exit = (-od + sq) * inv_dd
+            t_event = jnp.where(t_entry < t_lo, t_exit, t_entry)
+            in_window = (t_event >= t_lo) & (t_event <= t_hi)
+            present = cand_idx < (n - j * c)
+            gate = (
+                present & (disc >= 0.0) & in_window & live
+                & (alpha > config.alpha_min)
+            )
+            hm = config.hit_multiplicity
+            a_eff = alpha if hm == 1 else 1.0 - (1.0 - alpha) ** hm
+            a = jnp.where(gate, a_eff, 0.0)
+
+            lp = jnp.log1p(-a)
+            S = jnp.dot(tri_lo, lp, preferred_element_type=f32)
+            E = jnp.exp(S)
+            P = t_in * E
+            gate_w = (P > minT).astype(f32)
+            w = a * P * gate_w
+
+            colors = []
+            for ch in range(3):
+                if sh_deg == 0:
+                    raw = 0.5 + SH_C0 * col(_SH0 + ch * K)  # (c, 1)
+                else:
+                    raw = jnp.full((c, R), 0.5, f32)
+                    for k in range(K):
+                        raw = raw + basis[k] * col(_SH0 + ch * K + k)
+                colors.append(raw)
+
+            # ---- backward ----
+            d_w = jnp.zeros((c, R), f32)
+            for ch in range(3):
+                d_w = d_w + dR[ch] * jnp.maximum(colors[ch], 0.0)
+            # color/SH grads
+            for ch in range(3):
+                mask = (colors[ch] > 0.0).astype(f32)
+                d_col = dR[ch] * w  # (c, R)
+                if sh_deg == 0:
+                    gbuf[:, _SH0 + ch * K : _SH0 + ch * K + 1] = SH_C0 * jnp.sum(
+                        d_col * mask, axis=1, keepdims=True
+                    )
+                else:
+                    dcm = d_col * mask
+                    for k in range(K):
+                        gbuf[:, _SH0 + ch * K + k : _SH0 + ch * K + k + 1] = (
+                            jnp.sum(dcm * basis[k], axis=1, keepdims=True)
+                        )
+
+            d_a = d_w * P * gate_w
+            d_P = d_w * a * gate_w
+            sumlp = jnp.sum(lp, axis=0, keepdims=True)  # (1, R)
+            prod = jnp.exp(sumlp)
+            # carry to the PREVIOUS chunk's carry-out
+            acc[0:1, :] = dT * prod + jnp.sum(d_P * E, axis=0, keepdims=True)
+            d_lp = dT * t_in * prod + jnp.dot(
+                tri_up, d_P * P, preferred_element_type=f32
+            )
+            d_a = d_a - d_lp / (1.0 - a)
+
+            if hm == 1:
+                d_alpha = d_a
+            else:
+                d_alpha = d_a * hm * (1.0 - alpha) ** (hm - 1)
+            d_alpha = jnp.where(gate, d_alpha, 0.0)
+            notclamp = (resp * op < config.alpha_clamp).astype(f32)
+            d_resp = d_alpha * op * notclamp
+            gbuf[:, _OP : _OP + 1] = jnp.sum(
+                d_alpha * resp * notclamp, axis=1, keepdims=True
+            )
+            d_pp = -0.5 * resp * d_resp * (pp > 0.0).astype(f32)
+            # pp = oo - od^2/dd (dd > eps branch)
+            d_oo = jnp.sum(d_pp, axis=1, keepdims=True)  # (c, 1)
+            d_od = d_pp * (-2.0 * od / dd_s)
+            d_dd = d_pp * (od * od / (dd_s * dd_s))
+
+            d_ogx = jnp.sum(d_od * dgx, axis=1, keepdims=True) + 2.0 * ogx * d_oo
+            d_ogy = jnp.sum(d_od * dgy, axis=1, keepdims=True) + 2.0 * ogy * d_oo
+            d_ogz = jnp.sum(d_od * dgz, axis=1, keepdims=True) + 2.0 * ogz * d_oo
+            d_dgx = d_od * ogx + 2.0 * dgx * d_dd
+            d_dgy = d_od * ogy + 2.0 * dgy * d_dd
+            d_dgz = d_od * ogz + 2.0 * dgz * d_dd
+
+            red = lambda x: jnp.sum(x, axis=1, keepdims=True)
+            d_m = [
+                red(d_dgx * dx) + d_ogx * ox,
+                red(d_dgx * dy) + d_ogx * oy,
+                red(d_dgx * dz) + d_ogx * oz,
+                red(d_dgy * dx) + d_ogy * ox,
+                red(d_dgy * dy) + d_ogy * oy,
+                red(d_dgy * dz) + d_ogy * oz,
+                red(d_dgz * dx) + d_ogz * ox,
+                red(d_dgz * dy) + d_ogz * oy,
+                red(d_dgz * dz) + d_ogz * oz,
+            ]
+            for k in range(9):
+                gbuf[:, _M0 + k : _M0 + k + 1] = d_m[k]
+            d_ox = m[0] * d_ogx + m[3] * d_ogy + m[6] * d_ogz
+            d_oy = m[1] * d_ogx + m[4] * d_ogy + m[7] * d_ogz
+            d_oz = m[2] * d_ogx + m[5] * d_ogy + m[8] * d_ogz
+            gbuf[:, _MX : _MX + 1] = -d_ox  # ox = eye - mx
+            gbuf[:, _MY : _MY + 1] = -d_oy
+            gbuf[:, _MZ : _MZ + 1] = -d_oz
+            # rad only gates hits (discontinuous): zero grad, as in 3DGRT
+
+        wdma = pltpu.make_async_copy(
+            gbuf, dfeats_hbm.at[pl.ds(start + j * c, c), :], wsem
+        )
+        wdma.start()
+        wdma.wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "n_tiles", "rays_per_tile", "chunk", "interpret"),
+)
+def pallas_march_bwd(
+    starts: jnp.ndarray,
+    eye: jnp.ndarray,
+    pair_feats: jnp.ndarray,  # (P_pad, F)
+    dirs_t: jnp.ndarray,  # (T, R, 3)
+    tin: jnp.ndarray,  # (chunk_cap, 8, R) saved acc panels (row 3 = T_in)
+    chunk_base: jnp.ndarray,  # (T+1,)
+    d_rgb_t: jnp.ndarray,  # (T, R, 3)
+    d_tfinal: jnp.ndarray,  # (T, R)
+    config: RenderConfig,
+    n_tiles: int,
+    rays_per_tile: int,
+    chunk: int,
+    interpret: bool = False,
+):
+    """d(pair_feats) for the key-order shared-origin march."""
+    R = rays_per_tile
+    F = pair_feats.shape[1]
+    dirs_pack = jnp.zeros((n_tiles, 8, R), jnp.float32)
+    dirs_pack = dirs_pack.at[:, 0:3, :].set(jnp.transpose(dirs_t, (0, 2, 1)))
+    dirs_pack = dirs_pack.at[:, 3, :].set(config.t_min)
+    dirs_pack = dirs_pack.at[:, 4, :].set(config.t_max)
+    dout_pack = jnp.zeros((n_tiles, 8, R), jnp.float32)
+    dout_pack = dout_pack.at[:, 0:3, :].set(jnp.transpose(d_rgb_t, (0, 2, 1)))
+    dout_pack = dout_pack.at[:, 3, :].set(d_tfinal)
+
+    kernel = functools.partial(_march_bwd_kernel, config=config, c=chunk, R=R)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # features
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tin
+            pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((8, R), jnp.float32),
+            pltpu.VMEM((2, chunk, F), jnp.float32),
+            pltpu.VMEM((chunk, F), jnp.float32),
+            pltpu.VMEM((8, R), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    d_feats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pair_feats.shape, jnp.float32),
+        interpret=interpret,
+    )(starts, eye, chunk_base, pair_feats, tin, dirs_pack, dout_pack)
+    # rows past the last segment are never written by any tile
+    slot = jnp.arange(pair_feats.shape[0], dtype=jnp.int32)
+    return jnp.where((slot < starts[n_tiles])[:, None], d_feats, 0.0)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+)
+def march_stream_diff(
+    starts, eye, pair_feats, dirs_t,
+    config: RenderConfig, n_tiles: int, rays_per_tile: int, chunk: int,
+    interpret: bool,
+):
+    """Differentiable fused march (key order, shared origin): the forward is
+    the Pallas march kernel, the backward is the hand-written reverse-sweep
+    kernel producing d(pair_feats) (BASELINE north star: fused kernels with
+    a hand-written backward for means/covariance/opacity/SH — the feature
+    rows carry exactly those)."""
+    rgb, t_final = pallas_march_stream(
+        starts, eye, pair_feats, dirs_t, config,
+        n_tiles=n_tiles, rays_per_tile=rays_per_tile, chunk=chunk,
+        interpret=interpret,
+    )
+    return rgb, t_final
+
+
+def _march_diff_fwd(starts, eye, pair_feats, dirs_t, config, n_tiles,
+                    rays_per_tile, chunk, interpret):
+    rgb, t_final, tin, chunk_base = pallas_march_stream(
+        starts, eye, pair_feats, dirs_t, config,
+        n_tiles=n_tiles, rays_per_tile=rays_per_tile, chunk=chunk,
+        interpret=interpret, save_tin=True,
+    )
+    res = (starts, eye, pair_feats, dirs_t, tin, chunk_base)
+    return (rgb, t_final), res
+
+
+def _march_diff_bwd(config, n_tiles, rays_per_tile, chunk, interpret, res, ct):
+    import numpy as _np
+
+    starts, eye, pair_feats, dirs_t, tin, chunk_base = res
+    d_rgb_t, d_tfinal = ct
+    d_feats = pallas_march_bwd(
+        starts, eye, pair_feats, dirs_t, tin, chunk_base, d_rgb_t, d_tfinal,
+        config, n_tiles=n_tiles, rays_per_tile=rays_per_tile, chunk=chunk,
+        interpret=interpret,
+    )
+    d_starts = _np.zeros(starts.shape, dtype=jax.dtypes.float0)
+    return d_starts, jnp.zeros_like(eye), d_feats, jnp.zeros_like(dirs_t)
+
+
+march_stream_diff.defvjp(_march_diff_fwd, _march_diff_bwd)

@@ -45,7 +45,12 @@ def adaptive_radius(
     producing NaNs like the reference's unguarded sqrt(log(...)) would.
     """
     ratio = jnp.maximum(opacity / alpha_min, 1.0)
-    return jnp.maximum(jnp.sqrt(2.0 * jnp.log(ratio)), clamp_min)
+    x = 2.0 * jnp.log(ratio)
+    # sqrt has infinite slope at 0: guard the primal AND the tangent so
+    # opacity gradients stay finite at the opacity <= alpha_min clamp
+    # (autodiff of sqrt(where(...)) is the standard safe pattern)
+    safe = jnp.sqrt(jnp.where(x > 0.0, x, 1.0))
+    return jnp.maximum(jnp.where(x > 0.0, safe, 0.0), clamp_min)
 
 
 def _mat3_apply(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

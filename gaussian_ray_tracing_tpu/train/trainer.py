@@ -46,17 +46,31 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     loss_fn: Callable = l2_loss,
+    use_pallas: Optional[bool] = None,
 ):
     """Build a jitted train step: (state, camera, target(H,W,3)) -> (state, metrics).
 
-    With a mesh, rendering is tile-sharded over the 'rays' axis (the grad
-    psum across shards is inserted by shard_map's transpose).
+    use_pallas (default: on TPU, single device): render through the fused
+    Pallas march with the HAND-WRITTEN backward kernel
+    (ops/pallas_march.march_stream_diff); otherwise the XLA tiled path
+    (autodiff + remat). With a mesh, rendering is tile-sharded over the
+    'rays' axis (the grad psum across shards is inserted by shard_map's
+    transpose).
     """
+    if use_pallas is None:
+        use_pallas = mesh is None and jax.default_backend() == "tpu"
 
     def compute_loss(params: GaussianModel, camera: Camera, target: jnp.ndarray):
         scene = params.activate()
         if mesh is None:
-            out = render_tiled(scene, camera, config)
+            if use_pallas:
+                from gaussian_ray_tracing_tpu.models.pallas_renderer import (
+                    render_pallas_diff,
+                )
+
+                out = render_pallas_diff(scene, camera, config)
+            else:
+                out = render_tiled(scene, camera, config)
         else:
             from gaussian_ray_tracing_tpu.parallel.sharded import render_tiled_sharded
 
