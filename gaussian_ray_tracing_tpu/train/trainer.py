@@ -112,4 +112,42 @@ class Trainer:
         return losses
 
     def save(self, path: str):
+        """Checkpoint the scene as a standard 3DGS PLY (interoperable with
+        the reference and the wider 3DGS ecosystem)."""
         self.state.params.to_ply(path)
+
+    def save_checkpoint(self, directory: str, step: int | None = None):
+        """Full training checkpoint (params + optimizer state) via orbax."""
+        save_train_state(directory, self.state, step=step)
+
+    def restore_checkpoint(self, directory: str, step: int | None = None):
+        self.state = restore_train_state(directory, self.state, step=step)
+
+
+def save_train_state(directory: str, state: TrainState, step: int | None = None):
+    """Orbax checkpoint of the full TrainState (params + adam moments +
+    step counter) — resumable training, a capability the inference-only
+    reference has no analog for (SURVEY.md section 5, checkpoint/resume)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    with ocp.CheckpointManager(path) as mgr:
+        mgr.save(
+            int(state.step) if step is None else step,
+            args=ocp.args.StandardSave(state),
+        )
+
+
+def restore_train_state(
+    directory: str, template: TrainState, step: int | None = None
+) -> TrainState:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    with ocp.CheckpointManager(path) as mgr:
+        step = mgr.latest_step() if step is None else step
+        return mgr.restore(step, args=ocp.args.StandardRestore(template))
