@@ -6,8 +6,8 @@ ONE packed feature row gather -> the fused Pallas march
 (ops/pallas_march.py). Semantics match the XLA tiled path with
 order="key" (global per-tile depth order, the standard sorted-splatting
 approximation); the oracle and the tiled "window" mode remain the
-exact-ordering references. Forward-only: gradients/training use the XLA
-tiled path, which shares the binning and feature table.
+exact-ordering references. For gradients/training use render_pallas_diff
+(hand-written backward kernel) or the XLA tiled path.
 
 On non-TPU backends the kernel runs in the Pallas interpreter (slow,
 test-only).

@@ -23,8 +23,10 @@ shaders/tracer.cuh:328-373). One grid program per image tile:
     min_transmittance (shaders/tracer.cuh:341), remaining chunks skip all
     compute (DMA still streams; bandwidth is cheap, VPU/MXU time is not).
 
-Forward-only: training and gradients use the XLA tiled path
-(models/tiled.py), which shares the same binning and feature table.
+Differentiable: march_stream_diff pairs this forward with a HAND-WRITTEN
+backward kernel (_march_bwd_kernel) that re-marches each tile in reverse
+and emits per-pair feature gradients (key order). The XLA tiled path
+(models/tiled.py) remains the autodiff/window-order training fallback.
 """
 
 from __future__ import annotations

@@ -284,8 +284,12 @@ def bin_pairs(
     else:
         rows = info_i[gsrc_safe]  # (P, 5)
     r = slot - rows[:, 0]
-    tx = rows[:, 1] + r % rows[:, 3]
-    ty = rows[:, 2] + r // rows[:, 3]
+    # integer div/mod have no VPU hardware path; float reciprocal math is
+    # exact here (r, sw < 2^24)
+    sw_f = rows[:, 3].astype(jnp.float32)
+    q = jnp.floor(r.astype(jnp.float32) / sw_f).astype(jnp.int32)
+    tx = rows[:, 1] + (r - q * rows[:, 3])
+    ty = rows[:, 2] + q
     tile = ty * tx_n + tx
 
     if use_tile_keys:
