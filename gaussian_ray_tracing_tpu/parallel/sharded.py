@@ -299,3 +299,100 @@ def render_pallas_sharded(
     rgb = jnp.where(valid[..., None], rgb, 0.0)
     alpha = jnp.where(valid, alpha, 0.0)
     return {"rgb": rgb, "alpha": alpha}
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "mesh", "pair_capacity", "tile_chunk"),
+)
+def render_gaussian_sharded_fast(
+    scene: GaussianScene,
+    camera: Camera,
+    config: RenderConfig,
+    mesh: Mesh,
+    pair_capacity: int | None = None,
+    tile_chunk: int = 16,
+):
+    """Depth-slab gaussian partitioning on the FAST tiled march.
+
+    For scenes beyond one chip's HBM (BASELINE config 5: 1M+ gaussians):
+    gaussians are view-depth sorted and split into contiguous slabs, one
+    per device on the 'gauss' axis. Each shard runs the full tiled
+    pipeline (binning + march) over ITS slab only — every per-gaussian
+    and per-pair buffer is 1/n_dev sized — then an all_gather + ordered
+    front-to-back segment fold combines the slabs (the compositing
+    recurrence is associative over depth-ordered segments; the
+    ring-attention analog for volume rendering, see combine_slab_segments).
+    Within-slab ordering follows the configured order mode; cross-slab
+    ordering is exact for depth-separated gaussians; gaussians STRADDLING
+    a slab cut are composited in slab order (matches
+    render_gaussian_sharded's semantics to ~70 dB; on dense high-overlap
+    scenes the decomposition itself costs quality vs a single device,
+    like any depth-partitioned renderer).
+    """
+    from gaussian_ray_tracing_tpu.models.tiled import (
+        default_pair_capacity,
+        march_frame,
+        prepare_frame,
+        tile_rays,
+        untile_image,
+    )
+
+    n_slab = mesh.shape[GAUSS_AXIS]
+    N = scene.num_gaussians
+    if pair_capacity is None:
+        pair_capacity = default_pair_capacity(-(-N // n_slab))
+
+    # contiguous view-depth slabs (padding has opacity 0: invisible anywhere)
+    U, V, W = camera.uvw_frame()
+    w_hat = W / jnp.maximum(jnp.linalg.norm(W), 1e-12)
+    depth = (scene.means - camera.eye) @ w_hat
+    order = jnp.argsort(depth)
+    pad = (-N) % n_slab
+    if pad:
+        order = jnp.concatenate([order, order[-1:].repeat(pad)])
+    sorted_scene = GaussianScene(
+        means=scene.means[order],
+        scales=scene.scales[order],
+        quats=scene.quats[order],
+        opacities=jnp.where(
+            jnp.arange(order.shape[0]) < N, scene.opacities[order], 0.0
+        ),
+        sh=scene.sh[order],
+        num_active=scene.num_gaussians,
+    )
+
+    def local(scene_l):
+        table, binning, dirs_t, _ = prepare_frame(
+            scene_l, camera, config, pair_capacity
+        )
+        rgb_t, alpha_t = march_frame(
+            binning.cand, dirs_t, camera.eye, table, config, tile_chunk
+        )
+        t_l = 1.0 - alpha_t  # (T, R) slab transmittance
+        rgb_all = jax.lax.all_gather(rgb_t, GAUSS_AXIS)  # (S, T, R, 3)
+        t_all = jax.lax.all_gather(t_l, GAUSS_AXIS)
+        return combine_slab_segments(rgb_all, t_all)
+
+    scene_spec = GaussianScene(
+        means=P(GAUSS_AXIS), scales=P(GAUSS_AXIS), quats=P(GAUSS_AXIS),
+        opacities=P(GAUSS_AXIS), sh=P(GAUSS_AXIS), num_active=scene.num_gaussians,
+    )
+    rgb_t, t_total = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(scene_spec,),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(sorted_scene)
+
+    origins, dirs, valid = generate_rays(camera, config)
+    H, W_px = camera.height, camera.width
+    rgb = untile_image(rgb_t, H, W_px, config.tile_w, config.tile_h)
+    alpha = untile_image(
+        (1.0 - t_total)[..., None], H, W_px, config.tile_w, config.tile_h
+    )[..., 0]
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    alpha = jnp.where(valid, alpha, 0.0)
+    return {"rgb": rgb, "alpha": alpha}

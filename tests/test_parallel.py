@@ -118,3 +118,21 @@ def test_pallas_sharded_matches_single():
     b = render_pallas_sharded(scene, cam, cfg, mesh, pair_capacity=100_000)
     np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
     np.testing.assert_array_equal(np.asarray(a["alpha"]), np.asarray(b["alpha"]))
+
+
+def test_gaussian_sharded_fast_matches_oracle_slabs():
+    """Fast depth-slab sharding reproduces the oracle slab decomposition."""
+    from gaussian_ray_tracing_tpu.parallel.sharded import (
+        render_gaussian_sharded,
+        render_gaussian_sharded_fast,
+    )
+    from gaussian_ray_tracing_tpu.utils.image import psnr
+
+    scene = random_scene(1500, seed=3)
+    cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                        width=64, height=32)
+    cfg = CFG.replace(order="window", max_per_tile=4096)
+    mesh = make_mesh(8, axis=GAUSS_AXIS)
+    a = render_gaussian_sharded(scene, cam, cfg, mesh)
+    b = render_gaussian_sharded_fast(scene, cam, cfg, mesh, pair_capacity=100_000)
+    assert float(psnr(a["rgb"], b["rgb"])) > 45.0
