@@ -236,6 +236,14 @@ def cmd_grad_check(args):
     print(json.dumps({"base_loss": base, "grads": report}, indent=2))
 
 
+def cmd_serve(args):
+    from gaussian_ray_tracing_tpu.viewer import serve
+
+    tracer = _build(args)
+    serve(tracer, host=args.host, port=args.port,
+          width=args.width, height=args.height)
+
+
 def cmd_info(args):
     tracer = _build(args)
     s = tracer.scene
@@ -288,6 +296,12 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_grad_check)
+
+    p = sub.add_parser("serve", help="interactive browser viewer")
+    _add_scene_args(p); _add_camera_args(p); _add_render_args(p)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8800)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("info", help="scene statistics")
     _add_scene_args(p); _add_camera_args(p)

@@ -15,8 +15,8 @@ def quantize_rgb8(rgb: np.ndarray) -> np.ndarray:
     return np.minimum((x * 256.0).astype(np.uint32), 255).astype(np.uint8)
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """Write an (H, W, 3) uint8 or float image as PNG using stdlib zlib."""
+def encode_png(image: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 or float image as PNG bytes (stdlib zlib)."""
     img = np.asarray(image)
     if img.dtype != np.uint8:
         img = quantize_rgb8(img)
@@ -34,14 +34,18 @@ def write_png(path: str, image: np.ndarray) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write an (H, W, 3) uint8 or float image as PNG."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(image))
 
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
