@@ -36,6 +36,7 @@ def render(
     mesh: Optional[TriangleMesh] = None,
     method: str = "auto",
     pair_capacity: int | None = None,
+    return_aux: bool = False,
 ):
     """Render a frame. method: auto | oracle | tiled | pallas."""
     if mesh is not None:
@@ -48,11 +49,17 @@ def render(
     if method == "oracle":
         return render_oracle(scene, camera, config)
     if method == "tiled":
-        return render_tiled(scene, camera, config, pair_capacity=pair_capacity)
+        return render_tiled(
+            scene, camera, config, pair_capacity=pair_capacity,
+            return_aux=return_aux,
+        )
     if method == "pallas":
         from gaussian_ray_tracing_tpu.models.pallas_renderer import render_pallas
 
-        return render_pallas(scene, camera, config, pair_capacity=pair_capacity)
+        return render_pallas(
+            scene, camera, config, pair_capacity=pair_capacity,
+            return_aux=return_aux,
+        )
     raise ValueError(f"unknown method {method}")
 
 
@@ -77,6 +84,8 @@ class GaussianRayTracer:
         self.scene = scene
         self.config = config
         self.primitives: list[TriangleMesh] = []
+        # pair-capacity bucket, refreshed from observed pair counts
+        self._pair_capacity: int | None = None
         self.width = 1280
         self.height = 720
         self.camera = Camera.create(
@@ -135,8 +144,27 @@ class GaussianRayTracer:
 
     # --- rendering ---
     def render(self, method: str = "auto"):
+        """Render the current frame.
+
+        Pair capacity is auto-bucketed from the previous frame's emitted
+        pair count (recompiles only when the power-of-two bucket changes),
+        so static scenes pay no slack in the sort/gather stages and growing
+        scenes never silently drop pairs two frames in a row."""
         mesh = merge_meshes(self.primitives) if self.primitives else None
-        return render(self.scene, self.camera, self.config, mesh=mesh, method=method)
+        if mesh is not None:
+            return render(self.scene, self.camera, self.config, mesh=mesh,
+                          method=method)
+        out = render(
+            self.scene, self.camera, self.config, method=method,
+            pair_capacity=self._pair_capacity, return_aux=True,
+        )
+        aux = out.pop("aux", None)
+        if aux is not None and method != "oracle":
+            n = int(aux["n_pairs"])
+            want = 1 << max(16, int(n * 1.3).bit_length())
+            if want != self._pair_capacity:
+                self._pair_capacity = want
+        return out
 
     def render_rgb8(self, method: str = "auto") -> np.ndarray:
         """RGB8 quantized frame (shaders/tracer.cuh:484-496)."""
