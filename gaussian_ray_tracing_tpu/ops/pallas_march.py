@@ -275,7 +275,19 @@ def _march_kernel(
                     | q(colors[2])
                 )
                 cpack = jnp.broadcast_to(cpack, (c, R))
-                skey, cpack = _bitonic_sort(skey, cpack, c)
+                # skip the sort network when this chunk is already per-ray
+                # ordered among significant hits (common: the stream is
+                # globally key-ordered, so sparse/well-separated chunks
+                # arrive sorted) — one roll + compare vs 28 butterfly stages
+                nxt = _roll(skey, -1)
+                pos_ok = cand_idx < (c - 1)
+                has_inv = jnp.any((skey > nxt) & pos_ok & (nxt != 2147483647))
+                skey, cpack = jax.lax.cond(
+                    has_inv,
+                    lambda k, p: _bitonic_sort(k, p, c),
+                    lambda k, p: (k, p),
+                    skey, cpack,
+                )
                 a = jnp.where(
                     skey == 2147483647, 0.0, (skey & 32767).astype(f32) / 32767.0
                 )
