@@ -222,23 +222,6 @@ def render_with_mesh_oracle(
     return {"rgb": rgb, "alpha": alpha}
 
 
-def _mesh_hits_chunked(o, d, v0, v1, v2, t_min, t_max, ray_chunk: int = 8192):
-    """closest_hit over a large flat ray batch, chunked so the
-    (rays, face_chunk) intersection intermediates stay bounded."""
-    R = o.shape[0]
-    pad = (-R) % ray_chunk
-    if pad:
-        z = jnp.zeros((pad, 3), o.dtype)
-        o = jnp.concatenate([o, z], 0)
-        d = jnp.concatenate([d, z], 0)
-    n_chunks = o.shape[0] // ray_chunk
-    hits = jax.lax.map(
-        lambda args: closest_hit(args[0], args[1], v0, v1, v2, t_min, t_max),
-        (o.reshape(n_chunks, ray_chunk, 3), d.reshape(n_chunks, ray_chunk, 3)),
-    )
-    return jax.tree.map(lambda x: x.reshape(-1)[:R], hits)
-
-
 @partial(
     jax.jit,
     static_argnames=(
@@ -301,6 +284,13 @@ def render_with_mesh_fast(
         block_capacity = n_tiles * chunk * 8  # avg 8 blocks per tile
     block_capacity = (block_capacity // chunk) * chunk
 
+    from gaussian_ray_tracing_tpu.ops.pallas_tri import (
+        FACES_PER_BLOCK,
+        face_block_index,
+        pack_triangles,
+        pallas_closest_hit,
+    )
+
     stream, pair_feats, table128, bound_radius = prepare_pair_stream(
         scene, camera, config, pair_capacity, chunk
     )
@@ -320,6 +310,14 @@ def render_with_mesh_fast(
     v0, v1, v2 = wv[faces[:, 0]], wv[faces[:, 1]], wv[faces[:, 2]]
     glass_ratio = config.glass_ior / config.air_ior
 
+    # morton-packed triangle blocks + bounding spheres for the per-tile
+    # cone-culled Pallas closest-hit kernel (ops/pallas_tri.py)
+    face_rows, tri_perm = pack_triangles(v0, v1, v2)
+    findex = face_block_index(v0, v1, v2, tri_perm)
+    n_fblocks = findex.centers.shape[0]
+    face_capacity = n_tiles * FACES_PER_BLOCK * min(16, n_fblocks)
+    n_faces = faces.shape[0]
+
     zero3 = jnp.zeros((n_tiles, R, 3), jnp.float32)
     zero = jnp.zeros((n_tiles, R), jnp.float32)
     accum_color, direct_light = zero3, zero3
@@ -335,11 +333,22 @@ def render_with_mesh_fast(
             & (bounces < config.max_bounces)
         )
         d_live = jnp.where(live[..., None], d_t, 0.0)
-        hit = _mesh_hits_chunked(
-            o_t.reshape(-1, 3), d_live.reshape(-1, 3), v0, v1, v2,
-            config.mesh_t_min, config.mesh_t_max,
+        fbundles = bundle_rays(o_t, d_live)
+        fvis = cull_blocks(findex, fbundles, config.mesh_t_max)
+        fstream = block_stream(fvis, findex, fbundles, face_capacity)
+        t_hit, fpk, hu, hv = pallas_closest_hit(
+            fstream.starts, fstream.blk, face_rows, d_live, camera.eye,
+            config.mesh_t_min, config.mesh_t_max, n_tiles, R,
+            origins_t=o_t, interpret=interpret,
         )
-        hit = jax.tree.map(lambda x: x.reshape(n_tiles, R), hit)
+        face = jnp.where(
+            (fpk >= 0) & (fpk < n_faces),
+            tri_perm[jnp.clip(fpk, 0, n_faces - 1)].astype(jnp.int32),
+            -1,
+        )
+        from gaussian_ray_tracing_tpu.ops.intersect import MeshHit
+
+        hit = MeshHit(t=t_hit, face=face, u=hu, v=hv)
         has_hit = (hit.face >= 0) & live
         seg_hi = jnp.where(has_hit, hit.t, config.t_max)
 
