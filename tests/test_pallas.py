@@ -192,3 +192,34 @@ class TestHandWrittenBackward:
             state, m = step(state, cam, target)
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0]
+
+
+class TestObjMesh:
+    def test_obj_load_and_render(self, tmp_path):
+        """OBJ insert capability (Primitives::createLoadMesh analog): write a
+        cube, load it (native parser when available, tinyobj-style Y flip),
+        and render the normal mode through the fast tracer."""
+        from gaussian_ray_tracing_tpu.config import MeshType
+        from gaussian_ray_tracing_tpu.models.mesh_tracer import render_with_mesh_fast
+        from gaussian_ray_tracing_tpu.scene.mesh import load_obj
+
+        obj = tmp_path / "cube.obj"
+        v = [(-1,-1,-1),(1,-1,-1),(1,1,-1),(-1,1,-1),(-1,-1,1),(1,-1,1),(1,1,1),(-1,1,1)]
+        f = [(1,2,3),(1,3,4),(5,7,6),(5,8,7),(1,5,6),(1,6,2),(2,6,7),(2,7,3),
+             (3,7,8),(3,8,4),(4,8,5),(4,5,1)]
+        lines = [f"v {x*0.4} {y*0.4} {z*0.4}" for x, y, z in v]
+        lines += [f"f {a} {b} {c}" for a, b, c in f]
+        obj.write_text("\n".join(lines) + "\n")
+
+        mesh = load_obj(str(obj), np.array([0.0, 0.0, 1.0], np.float32))
+        assert mesh.faces.shape[0] == 12
+        scene = random_scene(800, seed=4)
+        cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                            width=48, height=32)
+        cfg = RenderConfig(hit_multiplicity=1, order="key",
+                           mesh_type=MeshType.NORMAL, max_per_tile=4096)
+        out = render_with_mesh_fast(scene, mesh, cam, cfg, loop_bound=2)
+        rgb = np.asarray(out["rgb"])
+        assert np.isfinite(rgb).all()
+        # the cube front face must occlude the scene center with normal color
+        assert rgb[16, 24].min() > 0.05
