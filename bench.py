@@ -68,17 +68,20 @@ def _run():
             lambda: jax.lax.fori_loop(0, k, lambda i, a: a + frame(i), 0.0)
         )
 
-    k = 6
+    k = 8
     fk, f1 = loop(k), loop(1)
-    float(fk())  # compile + warm
+    v = float(fk())  # compile + warm
     float(f1())
-    t0 = time.perf_counter()
-    v = float(fk())
-    tk = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(f1())
-    t1 = time.perf_counter() - t0
-    dt = max((tk - t1) / (k - 1), 1e-9)
+    best = float("inf")
+    for _ in range(2):  # min-of-2: tunnel jitter is strictly additive
+        t0 = time.perf_counter()
+        float(fk())
+        tk = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(f1())
+        t1 = time.perf_counter() - t0
+        best = min(best, max((tk - t1) / (k - 1), 1e-9))
+    dt = best
 
     mrays = WIDTH * HEIGHT / dt / 1e6
     assert v == v, "non-finite render output"
