@@ -31,7 +31,7 @@ from gaussian_ray_tracing_tpu.scene.synthetic import random_scene
 
 WIDTH, HEIGHT = 1280, 720
 N_GAUSSIANS = 100_000
-PAIR_CAPACITY = 2_000_000
+PAIR_CAPACITY = 1_600_000  # scene emits ~1.29M pairs (checked at startup)
 NORTH_STAR_MRAYS = 1000.0  # 1 Grays/s/chip (BASELINE.json)
 
 
@@ -53,6 +53,13 @@ def _run():
     config = RenderConfig(hit_multiplicity=1, order="window", march_chunk=256)
     method = "pallas" if jax.default_backend() == "tpu" else "tiled"
     scene = jax.device_put(random_scene(N_GAUSSIANS, seed=0))
+
+    # capacity sanity: nothing may be silently dropped at this size
+    cam0 = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+                         width=WIDTH, height=HEIGHT)
+    aux = render(scene, cam0, config, method=method,
+                 pair_capacity=PAIR_CAPACITY, return_aux=True)["aux"]
+    assert int(aux["n_dropped"]) == 0, f"pair capacity too small: {aux}"
 
     def frame(i):
         camera = Camera.create(
