@@ -756,9 +756,11 @@ def pallas_march_bwd(
         out_shape=jax.ShapeDtypeStruct(pair_feats.shape, jnp.float32),
         interpret=interpret,
     )(starts, eye, chunk_base, pair_feats, tin, dirs_pack, dout_pack)
-    # rows past the last segment are never written by any tile
+    # rows outside [starts[0], starts[T]) are never written by any of THESE
+    # tiles (starts[0] != 0 when a shard owns an interior tile range)
     slot = jnp.arange(pair_feats.shape[0], dtype=jnp.int32)
-    return jnp.where((slot < starts[n_tiles])[:, None], d_feats, 0.0)
+    covered = (slot >= starts[0]) & (slot < starts[n_tiles])
+    return jnp.where(covered[:, None], d_feats, 0.0)
 
 
 @functools.partial(

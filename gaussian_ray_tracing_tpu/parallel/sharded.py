@@ -396,3 +396,95 @@ def render_gaussian_sharded_fast(
     rgb = jnp.where(valid[..., None], rgb, 0.0)
     alpha = jnp.where(valid, alpha, 0.0)
     return {"rgb": rgb, "alpha": alpha}
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "mesh", "pair_capacity", "chunk", "interpret"),
+)
+def render_pallas_sharded_diff(
+    scene: GaussianScene,
+    camera: Camera,
+    config: RenderConfig,
+    mesh: Mesh,
+    pair_capacity: int | None = None,
+    chunk: int | None = None,
+    interpret: bool | None = None,
+):
+    """Differentiable ray-DP forward on the fused Pallas kernels.
+
+    Tiles shard over 'rays'; each device runs the forward march AND, on the
+    backward pass, the hand-written reverse-sweep kernel over its own tile
+    range. The replicated per-pair feature stream's gradient is psum'd
+    across shards by shard_map's transpose — the gradient all-reduce over
+    ICI that BASELINE config 5 mandates, overlapped with the backward sweep
+    by XLA's async collectives.
+    """
+    from gaussian_ray_tracing_tpu.models.pallas_renderer import (
+        _interpret_default,
+        prepare_pair_stream,
+    )
+    from gaussian_ray_tracing_tpu.models.tiled import (
+        default_pair_capacity,
+        tile_rays,
+        untile_image,
+    )
+    from gaussian_ray_tracing_tpu.ops.pallas_march import march_stream_diff
+    from gaussian_ray_tracing_tpu.ops.tiles import num_tiles
+
+    if interpret is None:
+        interpret = _interpret_default()
+    if chunk is None:
+        chunk = max(32, min(config.march_chunk, 256))
+    if pair_capacity is None:
+        pair_capacity = default_pair_capacity(scene.num_gaussians)
+    if config.order != "key":
+        config = config.replace(order="key")
+    n_dev = mesh.shape[RAY_AXIS]
+    R = config.rays_per_tile
+
+    stream, pair_feats, _, _ = prepare_pair_stream(
+        scene, camera, config, pair_capacity, chunk
+    )
+    origins, dirs, valid = generate_rays(camera, config)
+    dirs_t = tile_rays(dirs, config.tile_w, config.tile_h)
+    tx_n, ty_n = num_tiles(camera, config)
+    T = tx_n * ty_n
+    T_local = -(-T // n_dev)
+    pad_t = n_dev * T_local - T
+    if pad_t:
+        dirs_t = jnp.pad(dirs_t, ((0, pad_t), (0, 0), (0, 0)))
+    starts_full = jnp.concatenate(
+        [stream.starts, jnp.full((pad_t,), stream.starts[T], jnp.int32)]
+    )
+    shard_starts = jnp.stack(
+        [
+            jax.lax.dynamic_slice(starts_full, (d * T_local,), (T_local + 1,))
+            for d in range(n_dev)
+        ]
+    )
+
+    def local(starts_l, dirs_l, feats_l, eye_l):
+        return march_stream_diff(
+            starts_l[0], eye_l, feats_l, dirs_l,
+            config, T_local, R, chunk, interpret,
+        )
+
+    rgb_t, t_final = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(), P()),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+        check_vma=False,
+    )(shard_starts, dirs_t.reshape(n_dev * T_local, R, 3), pair_feats,
+      camera.eye.astype(jnp.float32))
+
+    H, W = camera.height, camera.width
+    rgb = untile_image(rgb_t[:T], H, W, config.tile_w, config.tile_h)
+    alpha = untile_image(
+        (1.0 - t_final[:T])[..., None], H, W, config.tile_w, config.tile_h
+    )[..., 0]
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    alpha = jnp.where(valid, alpha, 0.0)
+    return {"rgb": rgb, "alpha": alpha}

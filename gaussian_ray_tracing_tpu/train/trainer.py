@@ -58,7 +58,7 @@ def make_train_step(
     transpose).
     """
     if use_pallas is None:
-        use_pallas = mesh is None and jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu"
 
     def compute_loss(params: GaussianModel, camera: Camera, target: jnp.ndarray):
         scene = params.activate()
@@ -71,6 +71,12 @@ def make_train_step(
                 out = render_pallas_diff(scene, camera, config)
             else:
                 out = render_tiled(scene, camera, config)
+        elif use_pallas:
+            from gaussian_ray_tracing_tpu.parallel.sharded import (
+                render_pallas_sharded_diff,
+            )
+
+            out = render_pallas_sharded_diff(scene, camera, config, mesh)
         else:
             from gaussian_ray_tracing_tpu.parallel.sharded import render_tiled_sharded
 

@@ -136,3 +136,31 @@ def test_gaussian_sharded_fast_matches_oracle_slabs():
     a = render_gaussian_sharded(scene, cam, cfg, mesh)
     b = render_gaussian_sharded_fast(scene, cam, cfg, mesh, pair_capacity=100_000)
     assert float(psnr(a["rgb"], b["rgb"])) > 45.0
+
+
+def test_pallas_sharded_diff_grads_match_single():
+    """Sharded fused-kernel training grads (hand-written backward per shard,
+    psum by shard_map transpose) are bit-identical to single device."""
+    from gaussian_ray_tracing_tpu.models.gaussian_model import GaussianModel
+    from gaussian_ray_tracing_tpu.models.pallas_renderer import render_pallas_diff
+    from gaussian_ray_tracing_tpu.parallel.sharded import render_pallas_sharded_diff
+
+    cfg = CFG.replace(order="key")
+    model = GaussianModel.from_scene(random_scene(600, seed=6))
+    cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                        width=64, height=32)
+    target = jnp.full((32, 64, 3), 0.3, jnp.float32)
+    mesh = make_mesh(8)
+
+    gs = jax.grad(lambda m: jnp.mean(
+        (render_pallas_sharded_diff(m.activate(), cam, cfg, mesh,
+                                    pair_capacity=100_000)["rgb"] - target) ** 2
+    ))(model)
+    g1 = jax.grad(lambda m: jnp.mean(
+        (render_pallas_diff(m.activate(), cam, cfg,
+                            pair_capacity=100_000)["rgb"] - target) ** 2
+    ))(model)
+    for f in ("means", "log_scales", "raw_quats", "raw_opacities", "sh"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(gs, f)), np.asarray(getattr(g1, f))
+        )
