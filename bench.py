@@ -22,7 +22,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 
 from gaussian_ray_tracing_tpu.cameras import Camera
 from gaussian_ray_tracing_tpu.config import RenderConfig

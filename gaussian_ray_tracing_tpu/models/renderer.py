@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from gaussian_ray_tracing_tpu.cameras import Camera

@@ -10,7 +10,6 @@ the backward sweep).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import jax

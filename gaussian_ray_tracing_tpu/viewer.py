@@ -12,7 +12,6 @@ Stdlib-only (http.server); state lives in a GaussianRayTracer.
 
 from __future__ import annotations
 
-import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer

@@ -1,7 +1,6 @@
 """Camera ray generation, scene activations, PLY round-trip, mesh geometry."""
 
 import numpy as np
-import jax.numpy as jnp
 
 from gaussian_ray_tracing_tpu.cameras import Camera, generate_rays
 from gaussian_ray_tracing_tpu.config import CameraModel, RenderConfig

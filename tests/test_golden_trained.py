@@ -13,7 +13,6 @@ import pytest
 
 from gaussian_ray_tracing_tpu.cameras import orbit_camera
 from gaussian_ray_tracing_tpu.config import RenderConfig
-from gaussian_ray_tracing_tpu.models.oracle import render_oracle
 from gaussian_ray_tracing_tpu.models.pallas_renderer import render_pallas
 from gaussian_ray_tracing_tpu.scene.ply import load_ply
 from gaussian_ray_tracing_tpu.utils.image import psnr

@@ -3,7 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
 import pytest
 
 from gaussian_ray_tracing_tpu.cameras import Camera, generate_rays
