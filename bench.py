@@ -30,7 +30,8 @@ from gaussian_ray_tracing_tpu.scene.synthetic import random_scene
 
 WIDTH, HEIGHT = 1280, 720
 N_GAUSSIANS = 100_000
-PAIR_CAPACITY = 1_600_000  # scene emits ~1.29M pairs (checked at startup)
+PAIR_CAPACITY = 1_216_000  # scene emits ~1.11M pairs with exact conic
+# bboxes (checked at startup); sort/gather cost scales with capacity
 NORTH_STAR_MRAYS = 1000.0  # 1 Grays/s/chip (BASELINE.json)
 
 

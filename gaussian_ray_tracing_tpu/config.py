@@ -105,6 +105,12 @@ class RenderConfig:
     # whose grazing entries are noisy); "tile"/"tile_peak" = per-pair keys
     # along each pair's tile central ray (kept for experimentation).
     pair_keys: str = "gaussian"
+    # Exact projected-conic bounding boxes for pinhole footprints (the
+    # support-function quadratic per axis) instead of the conservative
+    # extent/z_near rect; lossless (the march's alpha_min cutoff is the
+    # iso-ellipsoid test) and strictly tighter, so every downstream stage
+    # sees fewer (tile, gaussian) pairs. Zero per-pair cost.
+    exact_bbox: bool = True
     # Compute/composite dtype for the fast path ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Use the fused Pallas kernel for the per-tile march (False = pure-JAX path).

@@ -32,9 +32,8 @@ from gaussian_ray_tracing_tpu.ops.pallas_march import pallas_march_stream
 from gaussian_ray_tracing_tpu.ops.response import ray_ellipsoid_span
 from gaussian_ray_tracing_tpu.ops.tiles import (
     bin_pairs,
-    camera_axis_extents,
     num_tiles,
-    project_footprints,
+    project_footprints_conic,
 )
 from gaussian_ray_tracing_tpu.scene.gaussians import GaussianScene
 
@@ -55,9 +54,9 @@ def prepare_pair_stream(
     per-pair feature gather (128 columns for lane-aligned kernel DMAs)."""
     table, M, radius = feature_table(scene, config)
     bound_radius = radius * jnp.max(scene.scales, axis=-1)
-    extents = camera_axis_extents(scene.scales, scene.quats, radius, camera)
-    fp = project_footprints(
-        scene.means, bound_radius, camera, config, extents=extents
+    fp = project_footprints_conic(
+        scene.means, scene.scales, scene.quats, radius, bound_radius,
+        camera, config,
     )
     # central-ray event depth key (same rule as models/tiled.prepare_frame)
     rel = scene.means - camera.eye

@@ -34,8 +34,7 @@ from gaussian_ray_tracing_tpu.ops.sh import SH_C0, num_coeffs, sh_basis
 from gaussian_ray_tracing_tpu.ops.tiles import (
     TileBinning,
     bin_tiles,
-    camera_axis_extents,
-    project_footprints,
+    project_footprints_conic,
 )
 from gaussian_ray_tracing_tpu.scene.gaussians import GaussianScene
 
@@ -290,9 +289,9 @@ def prepare_frame(
     feature table, tile binning, and per-tile ray directions."""
     table, M, radius = feature_table(scene, config)
     bound_radius = radius * jnp.max(scene.scales, axis=-1)
-    extents = camera_axis_extents(scene.scales, scene.quats, radius, camera)
-    fp = project_footprints(
-        scene.means, bound_radius, camera, config, extents=extents
+    fp = project_footprints_conic(
+        scene.means, scene.scales, scene.quats, radius, bound_radius,
+        camera, config,
     )
     # global depth key matching the oracle's per-ray event rule evaluated on
     # the central ray through each gaussian (entry t, or exit t when the

@@ -109,6 +109,102 @@ def camera_axis_extents(
     return ext(u_hat), ext(v_hat), ext(w_hat)
 
 
+def project_footprints_conic(
+    means: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    radius: jnp.ndarray,
+    bound_radius: jnp.ndarray,
+    camera: Camera,
+    config: RenderConfig,
+) -> Footprint:
+    """Exact pinhole footprints: the tight bounding box of each iso
+    ellipsoid's projected conic.
+
+    The projection of the ellipsoid x = mu + radius * R S u (|u| <= 1) from
+    the eye is a conic in NDC; its extremal ndc_x is where the plane
+    n(k) = cc*u' - k*w_hat (the boundary of {ndc_x >= k}) supports the
+    ellipsoid:  n.(mu - eye) = -radius * |S R^T n|.  With the per-gaussian
+    scalars  B = (mu-eye).w_hat,  X = (mu-eye).n0  (n0 = cc*u'),  and the
+    vectors  P = S R^T n0,  Q = S R^T w_hat,  this squares to the quadratic
+    a k^2 - 2 b k + c = 0 with
+
+        a = B^2 - r^2 |Q|^2,   b = X B - r^2 P.Q,   c = X^2 - r^2 |P|^2,
+
+    whose discriminant is computed in the cancellation-free product form
+    b^2 - a c = r^2 (|B P - X Q|^2 - r^2 |P x Q|^2).  The roots are the
+    exact NDC interval of the projection.  Valid whenever the ellipsoid
+    lies strictly in front of the eye plane (a > 0 and B > 0); elsewhere —
+    and for fisheye cameras — falls back to the conservative
+    extent/z_near rect of :func:`project_footprints`.
+
+    Lossless by construction: the march composites a hit only when
+    alpha > alpha_min (shaders/tracer.cuh:361), and radius is the adaptive
+    iso-surface radius where response*opacity = alpha_min
+    (src/GaussianTracer.cpp:306), so rays outside the projected conic
+    contribute exactly nothing.
+    """
+    from gaussian_ray_tracing_tpu.ops.quaternion import quat_to_rotmat
+
+    extents = camera_axis_extents(scales, quats, radius, camera)
+    fp = project_footprints(means, bound_radius, camera, config, extents=extents)
+    if config.camera_model != CameraModel.PINHOLE or not config.exact_bbox:
+        return fp
+
+    U, V, W = camera.uvw_frame()
+    ulen = jnp.linalg.norm(U)
+    vlen = jnp.linalg.norm(V)
+    wlen = jnp.linalg.norm(W)
+    u_p = -U / ulen  # raygen dir = ndc_x*(-U) + ndc_y*(-V) + W
+    v_p = -V / vlen
+    w_hat = W / wlen
+    cu, cv = wlen / ulen, wlen / vlen
+
+    rel = means - camera.eye
+    B = rel @ w_hat
+    Xu = rel @ (cu * u_p)
+    Xv = rel @ (cv * v_p)
+
+    R = quat_to_rotmat(quats)  # (N, 3, 3)
+
+    def srt(axis):  # S R^T axis, (N, 3)
+        return scales * jnp.einsum("nji,j->ni", R, axis)
+
+    Pu = srt(cu * u_p)
+    Pv = srt(cv * v_p)
+    Q = srt(w_hat)
+    r2 = radius * radius
+    qq = jnp.sum(Q * Q, axis=-1)
+    a = B * B - r2 * qq
+
+    def interval(X, P):
+        b = X * B - r2 * jnp.sum(P * Q, axis=-1)
+        Vv = B[:, None] * P - X[:, None] * Q
+        C = jnp.cross(P, Q)
+        D = r2 * (jnp.sum(Vv * Vv, axis=-1) - r2 * jnp.sum(C * C, axis=-1))
+        sq = jnp.sqrt(jnp.maximum(D, 0.0))
+        a_safe = jnp.maximum(a, _EPS)
+        return b / a_safe, sq / a_safe  # (ndc center, ndc half-extent)
+
+    kcu, khu = interval(Xu, Pu)
+    kcv, khv = interval(Xv, Pv)
+    exact = (a > 0.0) & (B > 0.0)
+
+    Wpx, Hpx = camera.width, camera.height
+    px = (kcu + 1.0) * 0.5 * Wpx
+    py = (kcv + 1.0) * 0.5 * Hpx
+    rx = khu * 0.5 * Wpx + 1.0
+    ry = khv * 0.5 * Hpx + 1.0
+    return Footprint(
+        px=jnp.where(exact, px, fp.px),
+        py=jnp.where(exact, py, fp.py),
+        rx=jnp.where(exact, rx, fp.rx),
+        ry=jnp.where(exact, ry, fp.ry),
+        depth=fp.depth,
+        visible=fp.visible,
+    )
+
+
 def project_footprints(
     means: jnp.ndarray,
     bound_radius: jnp.ndarray,
