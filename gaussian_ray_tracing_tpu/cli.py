@@ -189,14 +189,42 @@ def cmd_fit(args):
         target = render_tiled(target_scene, cam, cfg)["rgb"]
         views.append((cam, target))
 
-    init = random_scene(args.fit_gaussians, seed=args.seed + 1)
-    trainer = Trainer(GaussianModel.from_scene(init), config=cfg, lr=args.lr)
+    init = random_scene(args.fit_gaussians, seed=args.seed + 1,
+                        pad_to=args.capacity)
+    density = None
+    optimizer = None
+    loss_fn = None
+    if args.densify:
+        from gaussian_ray_tracing_tpu.train.density import DensityConfig
+
+        density = DensityConfig(
+            densify_from_step=max(args.steps // 20, 10),
+            densify_until_step=args.steps // 2,
+            densify_every=max(args.steps // 30, 10),
+            opacity_reset_every=0,
+            grad_threshold=args.densify_grad_threshold,
+        )
+    if args.loss == "dssim_l1":
+        from gaussian_ray_tracing_tpu.train.losses import dssim_l1_loss
+
+        loss_fn = dssim_l1_loss
+    if args.optimizer == "3dgs":
+        from gaussian_ray_tracing_tpu.train.trainer import gaussian_optimizer
+
+        ext = float(np.linalg.norm(
+            np.asarray(init.means) - center[None], axis=-1).max())
+        optimizer = gaussian_optimizer(scene_extent=max(ext, 1e-3),
+                                       total_steps=args.steps)
+    trainer = Trainer(GaussianModel.from_scene(init), config=cfg, lr=args.lr,
+                      loss_fn=loss_fn, optimizer=optimizer, density=density,
+                      seed=args.seed)
     losses = trainer.fit(views, steps=args.steps)
     if args.output:
         trainer.save(args.output)
     print(json.dumps({
         "loss_first": losses[0], "loss_last": losses[-1],
         "steps": args.steps, "out": args.output,
+        "alive": trainer.alive() if args.densify else None,
     }))
 
 
@@ -289,6 +317,15 @@ def main(argv=None):
     p.add_argument("--fit-gaussians", type=int, default=2000)
     p.add_argument("--sh-degree", type=int, default=0)
     p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--densify", action="store_true",
+                   help="3DGS adaptive density control (clone/split/prune)")
+    p.add_argument("--capacity", type=int, default=None,
+                   help="static slot capacity for densification headroom")
+    p.add_argument("--densify-grad-threshold", type=float, default=2e-4,
+                   help="NDC-units mean-grad threshold for clone/split "
+                        "(the 3DGS default)")
+    p.add_argument("--loss", choices=["l2", "dssim_l1"], default="l2")
+    p.add_argument("--optimizer", choices=["adam", "3dgs"], default="adam")
     p.add_argument("-o", "--output", type=str, default=None)
     p.set_defaults(fn=cmd_fit)
 

@@ -367,6 +367,12 @@ def pallas_march_stream(
     Returns (rgb (T, R, 3), t_final (T, R) transmittance carry-out).
     """
     R = rays_per_tile
+    if not interpret and R % 128 != 0:
+        raise ValueError(
+            f"rays_per_tile={R} must be a multiple of 128 on TPU (Mosaic "
+            "lane tiling); use tile_w*tile_h in {128, 256, ...} or the XLA "
+            "tiled path"
+        )
     F = pair_feats.shape[1]
     # (T, 8, R) packed per-ray rows: Mosaic block shapes need the last two
     # dims to be (8k, 128k), so per-tile vectors ride in 8-row panels.

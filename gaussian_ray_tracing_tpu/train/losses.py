@@ -1,7 +1,16 @@
-"""Image losses for gaussian fitting."""
+"""Image losses for gaussian fitting.
+
+Includes the standard 3DGS training loss (Kerbl et al.):
+0.8 * L1 + 0.2 * (1 - SSIM), with SSIM computed by an 11x11 separable
+gaussian window (sigma 1.5) — depthwise convolutions, which XLA maps to
+the MXU.
+"""
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -17,3 +26,49 @@ def psnr_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Differentiable -PSNR (dB) surrogate."""
     mse = jnp.maximum(l2_loss(pred, target), 1e-12)
     return 10.0 * jnp.log10(mse)
+
+
+@functools.lru_cache(maxsize=4)
+def _ssim_window(size: int, sigma: float):
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    w = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return w / jnp.sum(w)
+
+
+def _blur(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Separable depthwise gaussian blur of an NHWC image."""
+    c = img.shape[-1]
+    size = win.shape[0]
+    kh = jnp.tile(win.reshape(size, 1, 1, 1), (1, 1, 1, c))  # HWIO, I=1
+    kw = jnp.tile(win.reshape(1, size, 1, 1), (1, 1, 1, c))
+    dn = jax.lax.conv_dimension_numbers(img.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    conv = lambda x, k: jax.lax.conv_general_dilated(
+        x, k, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+    return conv(conv(img, kh), kw)
+
+
+def ssim(pred: jnp.ndarray, target: jnp.ndarray, size: int = 11,
+         sigma: float = 1.5) -> jnp.ndarray:
+    """Mean SSIM over an (H, W, 3) pair in [0, 1] (differentiable)."""
+    win = _ssim_window(size, sigma)
+    x = pred[None].astype(jnp.float32)
+    y = target[None].astype(jnp.float32)
+    mx, my = _blur(x, win), _blur(y, win)
+    mxx, myy, mxy = mx * mx, my * my, mx * my
+    sx = _blur(x * x, win) - mxx
+    sy = _blur(y * y, win) - myy
+    sxy = _blur(x * y, win) - mxy
+    c1, c2 = 0.01**2, 0.03**2
+    s = ((2.0 * mxy + c1) * (2.0 * sxy + c2)) / (
+        (mxx + myy + c1) * (sx + sy + c2)
+    )
+    return jnp.mean(s)
+
+
+def dssim_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                  lambda_dssim: float = 0.2) -> jnp.ndarray:
+    """The 3DGS training objective: (1-λ)·L1 + λ·(1-SSIM)."""
+    return (1.0 - lambda_dssim) * l1_loss(pred, target) + lambda_dssim * (
+        1.0 - ssim(pred, target)
+    )

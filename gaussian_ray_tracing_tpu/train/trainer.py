@@ -40,6 +40,72 @@ def default_optimizer(lr: float = 2e-3) -> optax.GradientTransformation:
     return optax.adam(lr)
 
 
+def gaussian_optimizer(
+    scene_extent: float = 1.0,
+    total_steps: int = 30_000,
+    lr_scale: float = 1.0,
+) -> optax.GradientTransformation:
+    """Per-parameter-group adam with the 3DGS learning-rate recipe:
+    means at 1.6e-4 * extent exponentially decayed 100x over the run,
+    scales 5e-3, rotations 1e-3, opacities 5e-2, SH 2.5e-3 (higher-order
+    coefficients at 1/20 of the DC rate)."""
+    means_lr = optax.exponential_decay(
+        1.6e-4 * scene_extent * lr_scale,
+        transition_steps=max(total_steps, 1),
+        decay_rate=0.01,
+    )
+
+    def scale_sh_rest() -> optax.GradientTransformation:
+        # sh updates: column 0 (DC) full rate, higher bands at 1/20
+        def update(updates, state, params=None):
+            del params
+
+            def f(u):
+                if u.ndim == 3 and u.shape[1] > 1:  # (N, K, 3)
+                    return u.at[:, 1:, :].multiply(1.0 / 20.0)
+                return u
+
+            return jax.tree_util.tree_map(f, updates), state
+
+        return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
+
+    adam = lambda lr: optax.adam(lr, eps=1e-15)
+    return optax.multi_transform(
+        {
+            "means": adam(means_lr),
+            "log_scales": adam(5e-3 * lr_scale),
+            "raw_quats": adam(1e-3 * lr_scale),
+            "raw_opacities": adam(5e-2 * lr_scale),
+            "sh": optax.chain(adam(2.5e-3 * lr_scale), scale_sh_rest()),
+        },
+        # labels built FROM the params so the static num_active field (part
+        # of the treedef) matches whatever model is being optimized
+        param_labels=lambda params: dataclasses.replace(
+            params,
+            means="means",
+            log_scales="log_scales",
+            raw_quats="raw_quats",
+            raw_opacities="raw_opacities",
+            sh="sh",
+        ),
+    )
+
+
+def reset_opt_moments(opt_state, touched: jnp.ndarray):
+    """Zero optimizer moment rows of `touched` slots (3DGS re-initializes
+    adam state for gaussians created or re-seeded by densification).
+    Applies to every state array whose leading axis is the slot axis."""
+    n = touched.shape[0]
+
+    def z(x):
+        if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == n and x.dtype != jnp.int32:
+            shape = (-1,) + (1,) * (x.ndim - 1)
+            return jnp.where(touched.reshape(shape), jnp.zeros_like(x), x)
+        return x
+
+    return jax.tree_util.tree_map(z, opt_state)
+
+
 def make_train_step(
     config: RenderConfig,
     tx: optax.GradientTransformation,
@@ -88,13 +154,23 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)
-        return new_state, {"loss": loss}
+        # mean_grads feeds the densification statistics (train/density.py);
+        # it stays on device unless fetched
+        return new_state, {"loss": loss, "mean_grads": grads.means}
 
     return train_step
 
 
 class Trainer:
-    """Minimal fitting loop over (camera, target) pairs with PLY checkpointing."""
+    """Fitting loop over (camera, target) pairs with PLY checkpointing and
+    optional 3DGS adaptive density control (train/density.py).
+
+    Density control runs at a STATIC parameter capacity (the arrays'
+    leading dim); clones/splits fill dead slots, prunes free them — no
+    recompiles while the population changes. Pass a `GaussianModel` whose
+    arrays are padded above the expected final count (e.g. `pad_to=` in the
+    loaders) when enabling densification.
+    """
 
     def __init__(
         self,
@@ -102,19 +178,67 @@ class Trainer:
         config: RenderConfig = RenderConfig(),
         lr: float = 2e-3,
         mesh: Optional[Mesh] = None,
+        loss_fn: Callable = None,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        density: "DensityConfig | None" = None,
+        seed: int = 0,
     ):
-        self.tx = default_optimizer(lr)
+        from gaussian_ray_tracing_tpu.train.density import DensityState
+
+        self.tx = optimizer if optimizer is not None else default_optimizer(lr)
         self.state = TrainState.create(params, self.tx)
-        self.step_fn = make_train_step(config, self.tx, mesh=mesh)
+        kw = {} if loss_fn is None else {"loss_fn": loss_fn}
+        self.step_fn = make_train_step(config, self.tx, mesh=mesh, **kw)
         self.config = config
+        self.density = density
+        self.dstate = DensityState.create(params.means.shape[0])
+        self.key = jax.random.PRNGKey(seed)
+        # robust extent: bounding-sphere radius of the initial means
+        center = jnp.mean(params.means, axis=0)
+        self.scene_extent = float(
+            jnp.max(jnp.linalg.norm(params.means - center, axis=-1))
+        )
+
+    def _density_round(self, step: int):
+        from gaussian_ray_tracing_tpu.train.density import (
+            densify_and_prune,
+            reset_opacities,
+        )
+
+        cfg = self.density
+        in_window = cfg.densify_from_step <= step <= cfg.densify_until_step
+        if in_window and step % cfg.densify_every == 0:
+            self.key, sub = jax.random.split(self.key)
+            params, touched = densify_and_prune(
+                self.state.params, self.dstate, sub, cfg,
+                jnp.float32(self.scene_extent),
+            )
+            opt_state = reset_opt_moments(self.state.opt_state, touched)
+            self.state = TrainState(params, opt_state, self.state.step)
+            self.dstate = self.dstate.reset()
+        if in_window and cfg.opacity_reset_every and step % cfg.opacity_reset_every == 0:
+            self.state = dataclasses.replace(
+                self.state, params=reset_opacities(self.state.params)
+            )
 
     def fit(self, views: list[tuple[Camera, jnp.ndarray]], steps: int, log_every: int = 50):
         losses = []
         for i in range(steps):
             cam, target = views[i % len(views)]
             self.state, metrics = self.step_fn(self.state, cam, target)
+            if self.density is not None:
+                self.dstate = self.dstate.accumulate(
+                    metrics["mean_grads"], camera=cam,
+                    means=self.state.params.means,
+                )
+                self._density_round(i + 1)
             losses.append(float(metrics["loss"]))
         return losses
+
+    def alive(self) -> int:
+        from gaussian_ray_tracing_tpu.train.density import alive_count
+
+        return int(alive_count(self.state.params))
 
     def save(self, path: str):
         """Checkpoint the scene as a standard 3DGS PLY (interoperable with
