@@ -70,6 +70,13 @@ def prepare_pair_stream(
 
     geom = (scene.means, M.reshape(-1, 9), radius)
     stream = bin_pairs(fp, camera, config, pair_capacity, geom=geom)
+    if stream.order is not None:
+        # rank-space gids: gather pair features from the depth-reordered
+        # table (N-row gather; the returned `table` stays in original id
+        # order for the morton-block bounce path)
+        table_for_pairs = table[stream.order]
+    else:
+        table_for_pairs = table
 
     # pad feature columns to 128: Mosaic tiles HBM arrays at 128 lanes and
     # requires DMA slices aligned to that tiling (a narrower minor dim was
@@ -78,13 +85,14 @@ def prepare_pair_stream(
     F = table.shape[1]
     if F < 128:
         table = jnp.pad(table, ((0, 0), (0, 128 - F)))
+        table_for_pairs = jnp.pad(table_for_pairs, ((0, 0), (0, 128 - F)))
     # extend gid by `chunk` slots BEFORE the gather (the last DMA of the
     # last tile may read past starts[-1]); padding the gathered array
     # instead would copy the whole stream a second time
     gid_ext = jnp.concatenate(
         [stream.gid, jnp.zeros((chunk,), stream.gid.dtype)]
     )
-    pair_feats = table[jnp.maximum(gid_ext, 0)]
+    pair_feats = table_for_pairs[jnp.maximum(gid_ext, 0)]
     return stream, pair_feats, table, bound_radius
 
 

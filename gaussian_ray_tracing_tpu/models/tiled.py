@@ -307,6 +307,11 @@ def prepare_frame(
     fp = fp._replace(depth=key)
     geom = (scene.means, M.reshape(-1, 9), radius)
     binning: TileBinning = bin_tiles(fp, camera, config, pair_capacity, geom=geom)
+    if binning.order is not None:
+        # pre-sorted binning returns depth-RANK candidate ids; align the
+        # feature table (an N-row gather — cheap, and its autodiff
+        # transpose routes gradients back to the original rows)
+        table = table[binning.order]
 
     origins, dirs, valid = generate_rays(camera, config)
     dirs_t = tile_rays(dirs, config.tile_w, config.tile_h)  # (T, R, 3)

@@ -44,24 +44,31 @@ class PairStream(NamedTuple):
     """Sorted (tile, depth, gaussian) pair stream.
 
     Tile t owns the contiguous slots [starts[t], starts[t+1]); within a
-    segment, pairs are ordered by quantized view depth (front to back).
+    segment, pairs are ordered by view depth (front to back).
+
+    When `order` is not None (the default pre-sorted expansion path), gid
+    values are DEPTH RANKS: consumers must index per-gaussian tables that
+    were reordered as table[order]. When None (the experimental per-pair
+    key paths), gid values are original gaussian ids.
     """
 
-    gid: jnp.ndarray  # (P,) int32 gaussian ids, -1 in empty slots
-    key: jnp.ndarray  # (P,) int32 sorted packed keys (tile << db | depth_q)
+    gid: jnp.ndarray  # (P,) int32 gaussian ids/ranks, -1 in empty slots
+    key: jnp.ndarray  # (P,) int32 sorted keys (tile, or tile<<db|depth_q)
     starts: jnp.ndarray  # (n_tiles+1,) int32 segment starts
     n_pairs: jnp.ndarray  # () int32 pairs emitted (pre-clip)
     n_dropped: jnp.ndarray  # () int32 pairs lost to capacity overflow
+    order: jnp.ndarray | None = None  # (N,) depth perm; gid is rank space
 
 
 class TileBinning(NamedTuple):
     """Fixed-capacity per-tile candidate-list view of a PairStream (the
     layout consumed by the pure-XLA tiled march)."""
 
-    cand: jnp.ndarray  # (T, m_cap) int32 gaussian ids, -1 = empty
+    cand: jnp.ndarray  # (T, m_cap) int32 gaussian ids/ranks, -1 = empty
     counts: jnp.ndarray  # (T,) int32 candidates per tile (clipped to m_cap)
     n_pairs: jnp.ndarray  # () int32 total emitted pairs
     n_dropped: jnp.ndarray  # () int32 pairs lost to capacity / per-tile caps
+    order: jnp.ndarray | None = None  # see PairStream.order
 
 
 class Footprint(NamedTuple):
@@ -298,6 +305,124 @@ def _quantize_depth(depth: jnp.ndarray, depth_bits: int) -> jnp.ndarray:
     return jax.lax.shift_right_logical(bits, 31 - depth_bits)
 
 
+def _tile_rects(fp: Footprint, camera: Camera, config: RenderConfig):
+    """Clipped tile-rect bounds + per-gaussian pair counts (shared by both
+    expansion paths)."""
+    tw, th = config.tile_w, config.tile_h
+    tx_n, ty_n = num_tiles(camera, config)
+    # float-clip tile bounds before the int cast (projected centers of
+    # near/behind-camera gaussians can be astronomically large)
+    fclip = lambda v, n_t: jnp.clip(v, -2.0, n_t + 1.0)
+    fx0 = jnp.floor(fclip((fp.px - fp.rx) / tw, tx_n)).astype(jnp.int32)
+    fx1 = jnp.floor(fclip((fp.px + fp.rx) / tw, tx_n)).astype(jnp.int32)
+    fy0 = jnp.floor(fclip((fp.py - fp.ry) / th, ty_n)).astype(jnp.int32)
+    fy1 = jnp.floor(fclip((fp.py + fp.ry) / th, ty_n)).astype(jnp.int32)
+    on = (fx1 >= 0) & (fy1 >= 0) & (fx0 < tx_n) & (fy0 < ty_n) & fp.visible
+    x0 = jnp.clip(fx0, 0, tx_n - 1)
+    x1 = jnp.clip(fx1, 0, tx_n - 1)
+    y0 = jnp.clip(fy0, 0, ty_n - 1)
+    y1 = jnp.clip(fy1, 0, ty_n - 1)
+    sw = x1 - x0 + 1
+    sh = y1 - y0 + 1
+    count = jnp.where(on, sw * sh, 0)  # (N,)
+    return x0, y0, sw, count
+
+
+def _head_fill(first: jnp.ndarray, values: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Broadcast per-gaussian int32 `values` onto the pair stream: scatter
+    the VALUE DELTAS at each gaussian's first slot, then cumsum. Zero-count
+    gaussians share their successor's head slot; the scatter-ADD telescopes
+    their deltas, so every slot's prefix sum is exactly its owner's value.
+    O(N) scatter + O(P) scan — replaces a P-row gather (which costs ~5x
+    more: row gathers are row-count-bound, P >> N)."""
+    delta = values - jnp.concatenate([jnp.zeros((1,), values.dtype), values[:-1]])
+    buf = jnp.zeros((cap + 1,), jnp.int32).at[first].add(delta)
+    return jnp.cumsum(buf[:cap])
+
+
+def _bin_pairs_presorted(
+    fp: Footprint, camera: Camera, config: RenderConfig, cap: int
+) -> PairStream:
+    """Gather-free pair expansion over DEPTH-SORTED gaussians.
+
+    The gaussians are argsorted by depth key first (an N-sized sort, ~5%
+    of a P-sized one), so pairs are emitted in global front-to-back order
+    and the final sort is a STABLE tile-only sort — no quantized depth in
+    the key (exact 31-bit depth order, better than the 19-bit quantized
+    keys of the general path) and no (P, 5) per-pair info gather: all
+    per-pair context arrives through O(N)-scatter + O(P)-cumsum head
+    fills (_head_fill).
+
+    gid is returned in RANK space with the permutation in `order`:
+    consumers index reordered tables (table[order]).
+    """
+    tx_n, ty_n = num_tiles(camera, config)
+    n_tiles = tx_n * ty_n
+    n = fp.px.shape[0]
+
+    x0, y0, sw, count = _tile_rects(fp, camera, config)
+
+    # --- depth pre-sort (N) -------------------------------------------
+    d = jnp.clip(fp.depth, 1e-30, 1e30)
+    dbits = jax.lax.bitcast_convert_type(d, jnp.int32)  # monotone, >= 0
+    _, order = jax.lax.sort_key_val(dbits, jnp.arange(n, dtype=jnp.int32))
+    x0 = x0[order]
+    y0 = y0[order]
+    sw = jnp.maximum(sw[order], 1)
+    count = count[order]
+
+    offsets = jnp.cumsum(count) - count  # exclusive
+    total = offsets[-1] + count[-1] if n else jnp.int32(0)
+    first = jnp.minimum(offsets, cap)
+
+    # rank of each slot's owner: scatter-max of rank+1 at heads + cummax
+    # (ranks are increasing along the stream, so the fill is exact)
+    ranks = jnp.arange(n, dtype=jnp.int32)
+    buf = jnp.zeros((cap + 1,), jnp.int32).at[first].max(ranks + 1)
+    gsrc = jax.lax.cummax(buf[:cap]) - 1  # (P,)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    valid = (slot < jnp.minimum(total, cap)) & (gsrc >= 0)
+
+    # --- per-pair context via head fills (no gathers) ------------------
+    off_pair = _head_fill(first, offsets, cap)
+    bx = max(1, (tx_n - 1).bit_length())
+    by = max(1, (ty_n - 1).bit_length())
+    bsw = max(1, tx_n.bit_length())  # sw can equal tx_n
+    if bx + by + bsw > 31:
+        raise ValueError(f"tile grid too large to pack: {tx_n}x{ty_n}")
+    packed = _head_fill(
+        first,
+        jax.lax.shift_left(x0, by + bsw) | jax.lax.shift_left(y0, bsw) | sw,
+        cap,
+    )
+    sw_p = packed & ((1 << bsw) - 1)
+    y0_p = jax.lax.shift_right_logical(packed, bsw) & ((1 << by) - 1)
+    x0_p = jax.lax.shift_right_logical(packed, by + bsw)
+
+    r = slot - off_pair
+    # integer div/mod have no VPU hardware path; float reciprocal math is
+    # exact here (r, sw < 2^24)
+    q = jnp.floor(r.astype(jnp.float32) / sw_p.astype(jnp.float32)).astype(
+        jnp.int32
+    )
+    tile = (y0_p + q) * tx_n + x0_p + (r - q * sw_p)
+
+    key = jnp.where(valid, tile, n_tiles)  # invalids sort after every tile
+    payload = jnp.where(valid, gsrc, -1)
+    # STABLE tile sort: emission (= depth-rank) order is preserved within
+    # each tile's segment
+    key_s, gid_s = jax.lax.sort((key, payload), num_keys=1, is_stable=True)
+
+    starts = jnp.searchsorted(
+        key_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    n_dropped = jnp.maximum(total - cap, 0)
+    return PairStream(
+        gid=gid_s, key=key_s, starts=starts, n_pairs=total,
+        n_dropped=n_dropped, order=order,
+    )
+
+
 def bin_pairs(
     fp: Footprint,
     camera: Camera,
@@ -318,6 +443,11 @@ def bin_pairs(
     scenes). Costs one wider packed gather in the expansion; the int32
     columns ride in the float gather via bitcast.
     """
+    use_tile_keys = geom is not None and config.pair_keys in ("tile", "tile_peak")
+    if not use_tile_keys:
+        # default path: depth-pre-sorted gather-free expansion
+        return _bin_pairs_presorted(fp, camera, config, pair_capacity)
+
     tw, th = config.tile_w, config.tile_h
     tx_n, ty_n = num_tiles(camera, config)
     n_tiles = tx_n * ty_n
@@ -325,22 +455,7 @@ def bin_pairs(
     n = fp.px.shape[0]
     cap = pair_capacity
 
-    # float-clip tile bounds before the int cast (projected centers of
-    # near/behind-camera gaussians can be astronomically large)
-    fclip = lambda v, n_t: jnp.clip(v, -2.0, n_t + 1.0)
-    fx0 = jnp.floor(fclip((fp.px - fp.rx) / tw, tx_n)).astype(jnp.int32)
-    fx1 = jnp.floor(fclip((fp.px + fp.rx) / tw, tx_n)).astype(jnp.int32)
-    fy0 = jnp.floor(fclip((fp.py - fp.ry) / th, ty_n)).astype(jnp.int32)
-    fy1 = jnp.floor(fclip((fp.py + fp.ry) / th, ty_n)).astype(jnp.int32)
-    # off-screen cull
-    on = (fx1 >= 0) & (fy1 >= 0) & (fx0 < tx_n) & (fy0 < ty_n) & fp.visible
-    x0 = jnp.clip(fx0, 0, tx_n - 1)
-    x1 = jnp.clip(fx1, 0, tx_n - 1)
-    y0 = jnp.clip(fy0, 0, ty_n - 1)
-    y1 = jnp.clip(fy1, 0, ty_n - 1)
-    sw = x1 - x0 + 1
-    sh = y1 - y0 + 1
-    count = jnp.where(on, sw * sh, 0)  # (N,)
+    x0, y0, sw, count = _tile_rects(fp, camera, config)
 
     offsets = jnp.cumsum(count) - count  # exclusive
     total = offsets[-1] + count[-1] if n else jnp.int32(0)
@@ -359,7 +474,6 @@ def bin_pairs(
     gsrc_safe = jnp.maximum(gsrc, 0)
 
     # --- per-pair context via ONE packed row gather ------------------------
-    use_tile_keys = geom is not None and config.pair_keys in ("tile", "tile_peak")
     dq_g = _quantize_depth(fp.depth, depth_bits)
     icols = [offsets, x0, y0, jnp.maximum(sw, 1), dq_g]
     info_i = jnp.stack(icols, axis=1)
@@ -497,4 +611,5 @@ def bin_tiles(
         counts=clipped,
         n_pairs=stream.n_pairs,
         n_dropped=stream.n_dropped + tile_overflow,
+        order=stream.order,
     )
