@@ -40,6 +40,67 @@ from gaussian_ray_tracing_tpu.scene.gaussians import GaussianScene
 from gaussian_ray_tracing_tpu.scene.mesh import TriangleMesh
 
 
+def _surface_interaction(
+    d, normal, hit_t, has_hit, face, face_types,
+    rgb_seg, density_total, accum_color, accum_alpha,
+    bounces, config: RenderConfig, glass_ratio,
+):
+    """Vectorized per-ray surface response with PER-FACE material types.
+
+    Reproduces the reference's three closest-hit behaviors (MIRROR
+    tracer.cu:171-172, GLASS tracer.cuh:432-482, NORMAL tracer.cuh:406-429)
+    but selected per ray by the hit face's type instead of one global
+    switch — mirror/glass/normal primitives can coexist in a scene (an
+    extension; the reference keys the whole scene to one MeshType,
+    src/Parameters.h:80-85). face_types None, or -1 entries, defer to
+    config.mesh_type.
+
+    Shapes: `...` is the ray batch (flat (R,) or tiled (T, R)).
+    Returns (new_d, new_bounces, t_shift, terminate_hit, accum_color,
+    accum_alpha) — the NORMAL-mode compositing is applied here, after the
+    caller's generic hit accumulation, exactly as the branchy version did.
+    """
+    if face_types is None:
+        t_id = jnp.full(has_hit.shape, int(config.mesh_type), jnp.int32)
+    else:
+        t_id = face_types[jnp.maximum(face, 0)]
+        t_id = jnp.where(t_id < 0, jnp.int32(int(config.mesh_type)), t_id)
+    is_m = t_id == int(MeshType.MIRROR)
+    is_g = t_id == int(MeshType.GLASS)
+    is_n = t_id == int(MeshType.NORMAL)
+
+    mirror_d = reflect(d, normal)
+    glass_d, reflected = refract_or_tir(d, normal, glass_ratio)
+    new_d = jnp.where(
+        is_n[..., None], d, jnp.where(is_g[..., None], glass_d, mirror_d)
+    )
+    new_bounces = bounces + jnp.where(
+        is_m, 1, jnp.where(is_g, reflected.astype(jnp.int32), 0)
+    )
+    t_shift = hit_t + jnp.where(
+        is_g & ~reflected, config.refraction_eps_shift, 0.0
+    )
+    terminate_hit = has_hit & is_n
+
+    # NORMAL: replace the generic radiance with renderNormal's composite
+    # (gaussian segment + normal color at remaining transmittance) and
+    # saturate alpha (tracer.cuh:406-429)
+    norm_hit = terminate_hit
+    normal_color = (normal + 1.0) * 0.5
+    add = rgb_seg + normal_color * (1.0 - density_total)[..., None]
+    accum_color = jnp.where(
+        norm_hit[..., None],
+        accum_color - (1.0 - accum_alpha)[..., None] * rgb_seg + add,
+        accum_color,
+    )
+    accum_alpha = jnp.where(
+        norm_hit,
+        jnp.clip(accum_alpha + (1.0 - density_total), 0.0, 1.0),
+        accum_alpha,
+    )
+    return new_d, new_bounces, t_shift, terminate_hit, accum_color, accum_alpha
+
+
 def _interp_normal(mesh_n, faces, hit):
     n0 = mesh_n[faces[hit.face][:, 0]]
     n1 = mesh_n[faces[hit.face][:, 1]]
@@ -131,36 +192,13 @@ def render_rays_with_mesh(
         accum_alpha = jnp.where(has_hit, jnp.clip(accum_alpha + density_total, 0.0, 1.0), accum_alpha)
         blocking = jnp.where(has_hit, jnp.clip(blocking + density_total, 0.0, 1.0), blocking)
 
-        # --- surface interaction ---
-        if config.mesh_type == MeshType.MIRROR:
-            new_d = reflect(d, normal)
-            new_bounces = bounces + 1
-            t_shift = hit.t
-            terminate_hit = jnp.zeros_like(has_hit)
-        elif config.mesh_type == MeshType.GLASS:
-            new_d, reflected = refract_or_tir(d, normal, glass_ratio)
-            new_bounces = bounces + reflected.astype(bounces.dtype)
-            t_shift = hit.t + jnp.where(reflected, 0.0, config.refraction_eps_shift)
-            terminate_hit = jnp.zeros_like(has_hit)
-        elif config.mesh_type == MeshType.NORMAL:
-            # renderNormal (tracer.cuh:406-429): alpha there is the segment
-            # density; composite gaussians then the normal color, terminate
-            normal_color = (normal + 1.0) * 0.5
-            add = rgb_seg + normal_color * (1.0 - density_total)[:, None]
-            accum_color = jnp.where(
-                has_hit[:, None],
-                accum_color - (1.0 - accum_alpha)[:, None] * rgb_seg + add,
-                accum_color,
-            )
-            accum_alpha = jnp.where(
-                has_hit, jnp.clip(accum_alpha + (1.0 - density_total), 0.0, 1.0), accum_alpha
-            )
-            new_d = d
-            new_bounces = bounces
-            t_shift = hit.t
-            terminate_hit = has_hit
-        else:
-            raise ValueError(config.mesh_type)
+        # --- surface interaction (per-face material types) ---
+        (new_d, new_bounces, t_shift, terminate_hit,
+         accum_color, accum_alpha) = _surface_interaction(
+            d, normal, hit.t, has_hit, hit.face, mesh.face_types,
+            rgb_seg, density_total, accum_color, accum_alpha,
+            bounces, config, glass_ratio,
+        )
 
         # both paths: accumColor += directLight * (1 - blockingRadiance)
         # (tracer.cu:101); on the final miss iteration blocking holds its
@@ -396,35 +434,12 @@ def render_with_mesh_fast(
         normal = _interp_normal(wn, faces, jax.tree.map(lambda x: x.reshape(-1), hit))
         normal = normal.reshape(n_tiles, R, 3)
 
-        if config.mesh_type == MeshType.MIRROR:
-            new_d = reflect(d_t, normal)
-            new_bounces = bounces + 1
-            t_shift = hit.t
-            terminate_hit = jnp.zeros_like(has_hit)
-        elif config.mesh_type == MeshType.GLASS:
-            new_d, reflected = refract_or_tir(d_t, normal, glass_ratio)
-            new_bounces = bounces + reflected.astype(bounces.dtype)
-            t_shift = hit.t + jnp.where(reflected, 0.0, config.refraction_eps_shift)
-            terminate_hit = jnp.zeros_like(has_hit)
-        elif config.mesh_type == MeshType.NORMAL:
-            normal_color = (normal + 1.0) * 0.5
-            add = rgb_seg + normal_color * (1.0 - density_total)[..., None]
-            accum_color = jnp.where(
-                has_hit[..., None],
-                accum_color - (1.0 - accum_alpha)[..., None] * rgb_seg + add,
-                accum_color,
-            )
-            accum_alpha = jnp.where(
-                has_hit,
-                jnp.clip(accum_alpha + (1.0 - density_total), 0.0, 1.0),
-                accum_alpha,
-            )
-            new_d = d_t
-            new_bounces = bounces
-            t_shift = hit.t
-            terminate_hit = has_hit
-        else:
-            raise ValueError(config.mesh_type)
+        (new_d, new_bounces, t_shift, terminate_hit,
+         accum_color, accum_alpha) = _surface_interaction(
+            d_t, normal, hit.t, has_hit, hit.face, mesh.face_types,
+            rgb_seg, density_total, accum_color, accum_alpha,
+            bounces, config, glass_ratio,
+        )
 
         accum_color = jnp.where(
             live[..., None],

@@ -111,18 +111,35 @@ class GaussianRayTracer:
         lookat = np.asarray(self.camera.lookat)
         return 0.75 * eye + 0.25 * lookat
 
-    def create_plane(self) -> int:
-        self.primitives.append(make_plane(self._spawn_position()))
-        return len(self.primitives) - 1
+    def _with_type(self, mesh: TriangleMesh, mesh_type) -> TriangleMesh:
+        if mesh_type is None:
+            return mesh  # follow the global config.mesh_type
+        if isinstance(mesh_type, str):
+            mesh_type = MeshType[mesh_type.upper()]
+        return mesh.with_type(mesh_type)
 
-    def create_sphere(self, tess_u: int = 180, tess_v: int = 90) -> int:
+    def create_plane(self, mesh_type: MeshType | str | None = None) -> int:
+        """Insert a plane; mesh_type pins this primitive's material
+        (mirror/glass/normal) independently of the global render type —
+        an extension over the reference's single scene-wide MeshType."""
         self.primitives.append(
-            make_sphere(self._spawn_position(), tess_u=tess_u, tess_v=tess_v)
+            self._with_type(make_plane(self._spawn_position()), mesh_type)
         )
         return len(self.primitives) - 1
 
-    def create_load_mesh(self, path: str) -> int:
-        self.primitives.append(load_obj(path, self._spawn_position()))
+    def create_sphere(self, tess_u: int = 180, tess_v: int = 90,
+                      mesh_type: MeshType | str | None = None) -> int:
+        self.primitives.append(self._with_type(
+            make_sphere(self._spawn_position(), tess_u=tess_u, tess_v=tess_v),
+            mesh_type,
+        ))
+        return len(self.primitives) - 1
+
+    def create_load_mesh(self, path: str,
+                         mesh_type: MeshType | str | None = None) -> int:
+        self.primitives.append(
+            self._with_type(load_obj(path, self._spawn_position()), mesh_type)
+        )
         return len(self.primitives) - 1
 
     def update_instance_transform(self, index: int, transform):

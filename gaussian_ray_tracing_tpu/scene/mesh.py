@@ -35,6 +35,12 @@ class TriangleMesh:
     faces: jnp.ndarray
     transform: jnp.ndarray
     num_faces: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # per-face MeshType id, or None (= follow config.mesh_type). The
+    # reference keys the WHOLE scene to one type (src/Parameters.h:80-85,
+    # gui.cpp render-type selector); per-face types are an extension that
+    # lets mirror/glass/normal primitives coexist in one scene. -1 entries
+    # defer to config.mesh_type at trace time.
+    face_types: jnp.ndarray | None = None
 
     def world_vertices(self) -> jnp.ndarray:
         # elementwise formulation keeps full f32 on TPU (matmul would take the
@@ -66,6 +72,11 @@ class TriangleMesh:
 
     def with_transform(self, transform) -> "TriangleMesh":
         return dataclasses.replace(self, transform=jnp.asarray(transform, jnp.float32))
+
+    def with_type(self, mesh_type) -> "TriangleMesh":
+        """Stamp one material type on every face of this mesh."""
+        ft = jnp.full((self.faces.shape[0],), int(mesh_type), jnp.int32)
+        return dataclasses.replace(self, face_types=ft)
 
 
 def _build(vertices, normals, faces, position, pad_faces: int | None = None) -> TriangleMesh:
@@ -168,9 +179,14 @@ def load_obj(path: str, position=(0.0, 0.0, 0.0)) -> TriangleMesh:
 
 
 def merge_meshes(meshes: list[TriangleMesh]) -> TriangleMesh:
-    """Bake world transforms and concatenate into one world-space mesh."""
-    verts, norms, faces = [], [], []
+    """Bake world transforms and concatenate into one world-space mesh.
+
+    Per-face material types are propagated; meshes without them get -1
+    (defer to config.mesh_type). If no input carries types, the merged
+    mesh's face_types stays None."""
+    verts, norms, faces, types = [], [], [], []
     offset = 0
+    any_types = any(m.face_types is not None for m in meshes)
     for m in meshes:
         v = np.asarray(m.world_vertices())
         n = np.asarray(m.world_normals())
@@ -179,5 +195,12 @@ def merge_meshes(meshes: list[TriangleMesh]) -> TriangleMesh:
         verts.append(v)
         norms.append(n)
         faces.append(f)
+        if any_types:
+            if m.face_types is not None:
+                types.append(np.asarray(m.face_types[: m.num_faces], np.int32))
+            else:
+                types.append(np.full((m.num_faces,), -1, np.int32))
     out = _build(np.concatenate(verts), np.concatenate(norms), np.concatenate(faces), (0, 0, 0))
+    if any_types:
+        out = dataclasses.replace(out, face_types=jnp.asarray(np.concatenate(types)))
     return out

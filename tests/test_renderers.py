@@ -184,6 +184,45 @@ class TestMeshModes:
         # glass is transparent: gaussian behind it still visible at center
         assert rgb[24, 24].max() > 0.1
 
+    def test_per_face_types_override_global(self):
+        """A mesh stamped with one type renders identically to the global
+        switch, whatever config.mesh_type says (per-face extension)."""
+        scene, cam, mesh = self._setup()
+        for t in (MeshType.NORMAL, MeshType.MIRROR, MeshType.GLASS):
+            want = render_with_mesh(scene, mesh, cam, CFG.replace(mesh_type=t))
+            got = render_with_mesh(
+                scene, mesh.with_type(t), cam,
+                # deliberately contradictory global type
+                CFG.replace(mesh_type=MeshType.MIRROR if t != MeshType.MIRROR
+                            else MeshType.GLASS),
+            )
+            np.testing.assert_allclose(
+                np.asarray(got["rgb"]), np.asarray(want["rgb"]), atol=1e-5
+            )
+
+    def test_mixed_types_in_one_scene(self):
+        """A normal-mode plane and a mirror plane coexist: each half of the
+        image matches the corresponding single-type render."""
+        from gaussian_ray_tracing_tpu.scene.mesh import merge_meshes
+
+        scene = single_gaussian_scene(pos=(0.0, 0.0, 7.0), scale=0.4, opacity=0.95)
+        cam = Camera.create(eye=(0, 0, 3), lookat=(0, 0, 0), width=48, height=48)
+        left = make_plane(position=(-1.5, 0.0, -1.0), width=3.0, height=6.0)
+        right = make_plane(position=(1.5, 0.0, -1.0), width=3.0, height=6.0)
+        mixed = merge_meshes([left.with_type(MeshType.MIRROR),
+                              right.with_type(MeshType.NORMAL)])
+        out = np.asarray(render_with_mesh(scene, mixed, cam, CFG)["rgb"])
+        mirror_only = np.asarray(render_with_mesh(
+            scene, merge_meshes([left, right]), cam,
+            CFG.replace(mesh_type=MeshType.MIRROR))["rgb"])
+        normal_only = np.asarray(render_with_mesh(
+            scene, merge_meshes([left, right]), cam,
+            CFG.replace(mesh_type=MeshType.NORMAL))["rgb"])
+        # raygen negates U (tracer.cu:37-38): world +x maps to image LEFT,
+        # so the image-left half sees the world-right (NORMAL) plane
+        np.testing.assert_allclose(out[:, :20], normal_only[:, :20], atol=1e-5)
+        np.testing.assert_allclose(out[:, 28:], mirror_only[:, 28:], atol=1e-5)
+
 
 class TestRuntimeAPI:
     def test_tracer_class(self):
