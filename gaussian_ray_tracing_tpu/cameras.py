@@ -69,6 +69,43 @@ def pixel_ndc(width: int, height: int) -> jnp.ndarray:
     return jnp.asarray(np.stack(np.meshgrid(dx, dy, indexing="xy"), axis=-1))
 
 
+def distort_opencv(x: jnp.ndarray, y: jnp.ndarray, dist: tuple):
+    """Forward OpenCV distortion on normalized camera coords (x = X/Z).
+
+    dist = (k1, k2, p1, p2[, k3[, k4, k5, k6]]) — the OPENCV /
+    OPENCV_FISHEYE-style radial+tangential model 3DGRUT supports (the
+    reference has pinhole and equisolid fisheye only, tracer.cuh:115-165).
+    """
+    k1, k2, p1, p2, k3, k4, k5, k6 = (tuple(dist) + (0.0,) * 8)[:8]
+    r2 = x * x + y * y
+    num = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    den = 1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))
+    cdist = num / den
+    xy2 = 2.0 * x * y
+    xd = x * cdist + p1 * xy2 + p2 * (r2 + 2.0 * x * x)
+    yd = y * cdist + p1 * (r2 + 2.0 * y * y) + p2 * xy2
+    return xd, yd
+
+
+def undistort_opencv(xd: jnp.ndarray, yd: jnp.ndarray, dist: tuple,
+                     iters: int = 8):
+    """Invert distort_opencv by fixed-point iteration (cv2.undistortPoints
+    scheme): ideal = (distorted - tangential(ideal)) / cdist(ideal)."""
+    k1, k2, p1, p2, k3, k4, k5, k6 = (tuple(dist) + (0.0,) * 8)[:8]
+    x, y = xd, yd
+    for _ in range(iters):
+        r2 = x * x + y * y
+        num = 1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))
+        den = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        icdist = num / jnp.maximum(den, 1e-9)
+        xy2 = 2.0 * x * y
+        dx = p1 * xy2 + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + p2 * xy2
+        x = (xd - dx) * icdist
+        y = (yd - dy) * icdist
+    return x, y
+
+
 def generate_rays(camera: Camera, config: RenderConfig):
     """All primary rays of a frame.
 
@@ -85,6 +122,15 @@ def generate_rays(camera: Camera, config: RenderConfig):
     dx, dy = d[..., 0], d[..., 1]
     if config.camera_model == CameraModel.PINHOLE:
         dirs = dx[..., None] * Un + dy[..., None] * Vn + W
+        dirs = _normalize(dirs)
+        valid = jnp.ones(dirs.shape[:-1], bool)
+    elif config.camera_model == CameraModel.OPENCV:
+        # distortion acts on normalized camera coords x_cam = ndc * tan(fov/2)
+        wlen = jnp.linalg.norm(W)
+        cu = jnp.linalg.norm(U) / wlen
+        cv = jnp.linalg.norm(V) / wlen
+        xi, yi = undistort_opencv(dx * cu, dy * cv, config.distortion)
+        dirs = (xi / cu)[..., None] * Un + (yi / cv)[..., None] * Vn + W
         dirs = _normalize(dirs)
         valid = jnp.ones(dirs.shape[:-1], bool)
     elif config.camera_model == CameraModel.FISHEYE:

@@ -30,6 +30,10 @@ def _add_camera_args(p: argparse.ArgumentParser):
     p.add_argument("--lookat", type=float, nargs=3, default=None)
     p.add_argument("--fov", type=float, default=60.0)
     p.add_argument("--fisheye", action="store_true")
+    p.add_argument("--distortion", type=float, nargs="+", default=None,
+                   metavar="K",
+                   help="OpenCV distortion k1 k2 p1 p2 [k3 [k4 k5 k6]] "
+                        "(switches to the OPENCV camera model)")
 
 
 def _add_render_args(p: argparse.ArgumentParser):
@@ -60,10 +64,18 @@ def _build(args):
         n = args.synthetic or 100_000
         scene = random_scene(n, seed=args.seed)
 
+    distortion = tuple(getattr(args, "distortion", None) or ())
+    if args.fisheye:
+        model = CameraModel.FISHEYE
+    elif distortion:
+        model = CameraModel.OPENCV
+    else:
+        model = CameraModel.PINHOLE
     cfg = RenderConfig(
         sh_degree=getattr(args, "sh_degree", 0),
         hit_multiplicity=getattr(args, "hit_multiplicity", 2),
-        camera_model=CameraModel.FISHEYE if args.fisheye else CameraModel.PINHOLE,
+        camera_model=model,
+        distortion=distortion,
     )
     tracer = GaussianRayTracer(scene=scene, config=cfg)
     tracer.set_size(args.width, args.height)

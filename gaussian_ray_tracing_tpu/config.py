@@ -16,6 +16,10 @@ import math
 class CameraModel(enum.Enum):
     PINHOLE = "pinhole"
     FISHEYE = "fisheye"
+    # pinhole + OpenCV radial/tangential distortion (k1,k2,p1,p2,k3..k6);
+    # a 3DGRUT capability beyond the reference (tracer.cuh:115-165 has
+    # pinhole and equisolid fisheye only)
+    OPENCV = "opencv"
 
 
 class MeshType(enum.IntEnum):
@@ -77,6 +81,9 @@ class RenderConfig:
     camera_model: CameraModel = CameraModel.PINHOLE
     # Equisolid fisheye focal (shaders/tracer.cuh:158): f = 1/sqrt(2)
     fisheye_focal: float = 1.0 / math.sqrt(2.0)
+    # OPENCV model coefficients (k1, k2, p1, p2[, k3[, k4, k5, k6]]) on
+    # normalized camera coords; () = no distortion (== PINHOLE)
+    distortion: tuple = ()
 
     # --- Tiled-renderer (TPU fast path) knobs; no reference analog ---
     tile_w: int = 16

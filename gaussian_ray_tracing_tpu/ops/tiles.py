@@ -116,6 +116,41 @@ def camera_axis_extents(
     return ext(u_hat), ext(v_hat), ext(w_hat)
 
 
+def _distort_rect_px(xc, yc, hx, hy, camera: Camera, config: RenderConfig):
+    """Map an IDEAL-NDC rect (center (xc, yc), half-extent (hx, hy), all
+    (N,)) through the forward OPENCV distortion to a conservative pixel
+    rect: 8 boundary samples + center are distorted and boxed, with a
+    multiplicative + additive margin absorbing boundary curvature between
+    samples. Conservative for the moderate coefficient magnitudes real
+    OPENCV calibrations carry (containment is tested); pathological
+    coefficients may need a larger margin."""
+    from gaussian_ray_tracing_tpu.cameras import distort_opencv
+
+    U, V, W = camera.uvw_frame()
+    wlen = jnp.linalg.norm(W)
+    cu = jnp.linalg.norm(U) / wlen
+    cv = jnp.linalg.norm(V) / wlen
+    Wpx, Hpx = camera.width, camera.height
+
+    xs = (xc - hx, xc, xc + hx)
+    ys = (yc - hy, yc, yc + hy)
+    px_lo = px_hi = py_lo = py_hi = None
+    for i, sx in enumerate(xs):
+        for j, sy in enumerate(ys):
+            xd, yd = distort_opencv(sx * cu, sy * cv, config.distortion)
+            pxs = (xd / cu + 1.0) * 0.5 * Wpx
+            pys = (yd / cv + 1.0) * 0.5 * Hpx
+            px_lo = pxs if px_lo is None else jnp.minimum(px_lo, pxs)
+            px_hi = pxs if px_hi is None else jnp.maximum(px_hi, pxs)
+            py_lo = pys if py_lo is None else jnp.minimum(py_lo, pys)
+            py_hi = pys if py_hi is None else jnp.maximum(py_hi, pys)
+    px = 0.5 * (px_lo + px_hi)
+    py = 0.5 * (py_lo + py_hi)
+    rx = 0.5 * (px_hi - px_lo) * 1.15 + 2.0
+    ry = 0.5 * (py_hi - py_lo) * 1.15 + 2.0
+    return px, py, rx, ry
+
+
 def project_footprints_conic(
     means: jnp.ndarray,
     scales: jnp.ndarray,
@@ -155,7 +190,10 @@ def project_footprints_conic(
 
     extents = camera_axis_extents(scales, quats, radius, camera)
     fp = project_footprints(means, bound_radius, camera, config, extents=extents)
-    if config.camera_model != CameraModel.PINHOLE or not config.exact_bbox:
+    if (
+        config.camera_model not in (CameraModel.PINHOLE, CameraModel.OPENCV)
+        or not config.exact_bbox
+    ):
         return fp
 
     U, V, W = camera.uvw_frame()
@@ -198,10 +236,14 @@ def project_footprints_conic(
     exact = (a > 0.0) & (B > 0.0)
 
     Wpx, Hpx = camera.width, camera.height
-    px = (kcu + 1.0) * 0.5 * Wpx
-    py = (kcv + 1.0) * 0.5 * Hpx
-    rx = khu * 0.5 * Wpx + 1.0
-    ry = khv * 0.5 * Hpx + 1.0
+    if config.camera_model == CameraModel.OPENCV:
+        # exact ideal-NDC interval mapped through the forward distortion
+        px, py, rx, ry = _distort_rect_px(kcu, kcv, khu, khv, camera, config)
+    else:
+        px = (kcu + 1.0) * 0.5 * Wpx
+        py = (kcv + 1.0) * 0.5 * Hpx
+        rx = khu * 0.5 * Wpx + 1.0
+        ry = khv * 0.5 * Hpx + 1.0
     return Footprint(
         px=jnp.where(exact, px, fp.px),
         py=jnp.where(exact, py, fp.py),
@@ -238,7 +280,7 @@ def project_footprints(
     c = rel @ w_hat
     Wpx, Hpx = camera.width, camera.height
 
-    if config.camera_model == CameraModel.PINHOLE:
+    if config.camera_model in (CameraModel.PINHOLE, CameraModel.OPENCV):
         # ndc_x = (a / c) * |W|/|U| (camera basis is orthogonal; raygen dir =
         # dx*(-U) + dy*(-V) + W, shaders/tracer.cuh:133)
         z = jnp.maximum(c, _EPS)
@@ -254,6 +296,12 @@ def project_footprints(
         ry = rv / z_near * (wlen / vlen) * 0.5 * Hpx
         visible = (c + rw) > _EPS
         depth = c
+        if config.camera_model == CameraModel.OPENCV:
+            px, py, rx, ry = _distort_rect_px(
+                ndc_x, ndc_y,
+                rx / (0.5 * Wpx), ry / (0.5 * Hpx),
+                camera, config,
+            )
     elif config.camera_model == CameraModel.FISHEYE:
         rho = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
         rho_safe = jnp.maximum(rho, _EPS)
@@ -566,7 +614,9 @@ def _tile_center_dirs(tx, ty, camera: Camera, config: RenderConfig):
     py = (ty.astype(jnp.float32) + 0.5) * config.tile_h
     ndc_x = 2.0 * px / camera.width - 1.0
     ndc_y = 2.0 * py / camera.height - 1.0
-    if config.camera_model == CameraModel.PINHOLE:
+    if config.camera_model != CameraModel.FISHEYE:
+        # PINHOLE; OPENCV uses the undistorted approximation (these are
+        # ordering keys for the experimental pair_keys modes, not rays)
         dx = ndc_x * -U[0] + ndc_y * -V[0] + W[0]
         dy = ndc_x * -U[1] + ndc_y * -V[1] + W[1]
         dz = ndc_x * -U[2] + ndc_y * -V[2] + W[2]
