@@ -284,6 +284,47 @@ def cmd_serve(args):
           width=args.width, height=args.height)
 
 
+def cmd_warmup(args):
+    """Populate the persistent compilation cache for the common config set
+    (first Mosaic compiles take minutes; cached reruns are instant). Run
+    once per (resolution, scene-size bucket) after deploys."""
+    import time
+
+    import jax
+
+    from gaussian_ray_tracing_tpu.cameras import Camera
+    from gaussian_ray_tracing_tpu.config import CameraModel, RenderConfig
+    from gaussian_ray_tracing_tpu.models.renderer import render
+    from gaussian_ray_tracing_tpu.models.tiled import default_pair_capacity
+    from gaussian_ray_tracing_tpu.scene.synthetic import random_scene
+
+    n = args.synthetic or 100_000
+    scene = jax.device_put(random_scene(n, seed=args.seed))
+    method = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    cam = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+                        width=args.width, height=args.height)
+    variants = [("pinhole", RenderConfig(hit_multiplicity=1, order="window"))]
+    variants.append(("pinhole key", RenderConfig(hit_multiplicity=1, order="key")))
+    variants.append(
+        ("fisheye", RenderConfig(hit_multiplicity=1, order="window",
+                                 camera_model=CameraModel.FISHEYE))
+    )
+    caps = sorted({default_pair_capacity(n), *(
+        int(c) for c in (args.pair_capacity or [])
+    )})
+    done = []
+    for name, cfg in variants:
+        for cap in caps:
+            t0 = time.perf_counter()
+            out = render(scene, cam, cfg, method=method, pair_capacity=cap)
+            jax.block_until_ready(out["rgb"])
+            done.append({"config": name, "pair_capacity": cap,
+                         "seconds": round(time.perf_counter() - t0, 1)})
+            print(json.dumps(done[-1]), flush=True)
+    print(json.dumps({"warmed": len(done), "method": method,
+                      "width": args.width, "height": args.height}))
+
+
 def cmd_info(args):
     tracer = _build(args)
     s = tracer.scene
@@ -356,8 +397,27 @@ def main(argv=None):
     _add_scene_args(p); _add_camera_args(p)
     p.set_defaults(fn=cmd_info)
 
+    p = sub.add_parser("warmup", help="precompile the common config set")
+    _add_scene_args(p)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--pair-capacity", type=int, nargs="*", default=None,
+                   help="extra pair-capacity buckets to warm")
+    p.set_defaults(fn=cmd_warmup)
+
     args = parser.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except Exception as e:  # pragma: no cover - tunnel-specific
+        # the tunneled TPU worker occasionally drops right after a crash /
+        # OOM in a previous process (FAILED_PRECONDITION); one retry in the
+        # same process usually finds it recovered
+        name = type(e).__name__
+        if "FAILED_PRECONDITION" in str(e) or "XlaRuntimeError" in name:
+            print(f"# TPU worker dropped ({name}); retrying once",
+                  file=sys.stderr)
+            return args.fn(args)
+        raise
 
 
 if __name__ == "__main__":

@@ -376,6 +376,23 @@ def _tile_rects(fp: Footprint, camera: Camera, config: RenderConfig):
     return x0, y0, sw, count
 
 
+def count_pairs(scene, camera: Camera, config: RenderConfig) -> jnp.ndarray:
+    """Exact (tile, gaussian) pair count of a frame WITHOUT expanding the
+    stream — O(N) footprint math only. Lets callers pick a snug
+    pair_capacity bucket up front (sort/gather cost scales with capacity)
+    instead of over-provisioning."""
+    from gaussian_ray_tracing_tpu.ops.response import adaptive_radius
+
+    radius = adaptive_radius(scene.opacities, config.alpha_min)
+    bound_radius = radius * jnp.max(scene.scales, axis=-1)
+    fp = project_footprints_conic(
+        scene.means, scene.scales, scene.quats, radius, bound_radius,
+        camera, config,
+    )
+    _, _, _, count = _tile_rects(fp, camera, config)
+    return jnp.sum(count)
+
+
 def _head_fill(first: jnp.ndarray, values: jnp.ndarray, cap: int) -> jnp.ndarray:
     """Broadcast per-gaussian int32 `values` onto the pair stream: scatter
     the VALUE DELTAS at each gaussian's first slot, then cumsum. Zero-count

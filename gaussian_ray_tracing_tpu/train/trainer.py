@@ -10,6 +10,7 @@ the backward sweep).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, Optional
 
 import jax
@@ -112,6 +113,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     loss_fn: Callable = l2_loss,
     use_pallas: Optional[bool] = None,
+    pair_capacity: Optional[int] = None,
 ):
     """Build a jitted train step: (state, camera, target(H,W,3)) -> (state, metrics).
 
@@ -133,19 +135,23 @@ def make_train_step(
                     render_pallas_diff,
                 )
 
-                out = render_pallas_diff(scene, camera, config)
+                out = render_pallas_diff(scene, camera, config,
+                                         pair_capacity=pair_capacity)
             else:
-                out = render_tiled(scene, camera, config)
+                out = render_tiled(scene, camera, config,
+                                   pair_capacity=pair_capacity)
         elif use_pallas:
             from gaussian_ray_tracing_tpu.parallel.sharded import (
                 render_pallas_sharded_diff,
             )
 
-            out = render_pallas_sharded_diff(scene, camera, config, mesh)
+            out = render_pallas_sharded_diff(scene, camera, config, mesh,
+                                             pair_capacity=pair_capacity)
         else:
             from gaussian_ray_tracing_tpu.parallel.sharded import render_tiled_sharded
 
-            out = render_tiled_sharded(scene, camera, config, mesh)
+            out = render_tiled_sharded(scene, camera, config, mesh,
+                                       pair_capacity=pair_capacity)
         return loss_fn(out["rgb"], target)
 
     @jax.jit
@@ -187,9 +193,12 @@ class Trainer:
 
         self.tx = optimizer if optimizer is not None else default_optimizer(lr)
         self.state = TrainState.create(params, self.tx)
-        kw = {} if loss_fn is None else {"loss_fn": loss_fn}
-        self.step_fn = make_train_step(config, self.tx, mesh=mesh, **kw)
+        self._step_kw = {} if loss_fn is None else {"loss_fn": loss_fn}
+        self._mesh = mesh
         self.config = config
+        self._pair_capacity: int | None = None
+        self._step_cache: dict = {}
+        self._build_step()
         self.density = density
         self.dstate = DensityState.create(params.means.shape[0])
         self.key = jax.random.PRNGKey(seed)
@@ -206,6 +215,7 @@ class Trainer:
         )
 
         cfg = self.density
+        changed = False
         in_window = cfg.densify_from_step <= step <= cfg.densify_until_step
         if in_window and step % cfg.densify_every == 0:
             self.key, sub = jax.random.split(self.key)
@@ -216,13 +226,42 @@ class Trainer:
             opt_state = reset_opt_moments(self.state.opt_state, touched)
             self.state = TrainState(params, opt_state, self.state.step)
             self.dstate = self.dstate.reset()
+            changed = True
         if in_window and cfg.opacity_reset_every and step % cfg.opacity_reset_every == 0:
             self.state = dataclasses.replace(
                 self.state, params=reset_opacities(self.state.params)
             )
+        return changed
+
+    def _build_step(self):
+        cap = self._pair_capacity
+        if cap not in self._step_cache:
+            self._step_cache[cap] = make_train_step(
+                self.config, self.tx, mesh=self._mesh,
+                pair_capacity=cap, **self._step_kw,
+            )
+        self.step_fn = self._step_cache[cap]
+
+    def _refresh_capacity(self, views):
+        """Snug power-of-two pair-capacity bucket from EXACT per-view pair
+        counts (ops/tiles.count_pairs — O(N) footprint math, no expansion).
+        Sort/gather cost in every step scales with the capacity, so
+        training at the default 8N over-provision wastes time; re-probed
+        after every densify round because the population grows."""
+        from gaussian_ray_tracing_tpu.ops.tiles import count_pairs
+
+        scene = self.state.params.activate()
+        worst = max(
+            int(count_pairs(scene, cam, self.config)) for cam, _ in views
+        )
+        cap = max(1 << 16, 1 << math.ceil(math.log2(max(worst, 1) * 1.3)))
+        if cap != self._pair_capacity:
+            self._pair_capacity = cap
+            self._build_step()
 
     def fit(self, views: list[tuple[Camera, jnp.ndarray]], steps: int, log_every: int = 50):
         losses = []
+        self._refresh_capacity(views)
         for i in range(steps):
             cam, target = views[i % len(views)]
             self.state, metrics = self.step_fn(self.state, cam, target)
@@ -231,7 +270,9 @@ class Trainer:
                     metrics["mean_grads"], camera=cam,
                     means=self.state.params.means,
                 )
-                self._density_round(i + 1)
+                changed = self._density_round(i + 1)
+                if changed:
+                    self._refresh_capacity(views)
             losses.append(float(metrics["loss"]))
         return losses
 

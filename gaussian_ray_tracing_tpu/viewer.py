@@ -39,10 +39,16 @@ button, select { background:#222; color:#ddd; border:1px solid #444; margin-righ
 <img id="view" width="640" height="360"/>
 <script>
 let az = 0, el = 15, r = 3.0, fisheye = 0, busy = false, pending = false;
+let interacting = false, settleTimer = null;
 const img = document.getElementById('view');
 function url() {
   const t = document.getElementById('mtype').value;
-  return `/frame?az=${az}&el=${el}&r=${r}&fisheye=${fisheye}` + (t ? `&type=${t}` : '');
+  const s = interacting ? 2 : 1;  // progressive: half-res while dragging
+  return `/frame?az=${az}&el=${el}&r=${r}&fisheye=${fisheye}&s=${s}` + (t ? `&type=${t}` : '');
+}
+function settleSoon() {
+  if (settleTimer) clearTimeout(settleTimer);
+  settleTimer = setTimeout(() => { interacting = false; refresh(); }, 200);
 }
 function refresh() {
   if (busy) { pending = true; return; }
@@ -66,11 +72,15 @@ img.onmousedown = e => { drag = [e.clientX, e.clientY]; e.preventDefault(); };
 window.onmouseup = () => drag = null;
 window.onmousemove = e => {
   if (!drag) return;
+  interacting = true;
   az -= (e.clientX - drag[0]) * 0.5;
   el = Math.max(-89, Math.min(89, el + (e.clientY - drag[1]) * 0.5));
-  drag = [e.clientX, e.clientY]; refresh();
+  drag = [e.clientX, e.clientY]; refresh(); settleSoon();
 };
-img.onwheel = e => { r *= Math.exp(e.deltaY * 0.001); refresh(); e.preventDefault(); };
+img.onwheel = e => {
+  interacting = true;
+  r *= Math.exp(e.deltaY * 0.001); refresh(); settleSoon(); e.preventDefault();
+};
 refresh();
 </script></body></html>"""
 
@@ -105,13 +115,17 @@ def make_handler(tracer, width: int, height: int):
                     )
                     if q.get("type"):
                         tracer.set_render_type(q["type"])
+                    # progressive resolution: s=2 while the user drags
+                    # (gui-latency analog of the reference's interactive
+                    # loop; the browser upscales to the display size)
+                    s = max(1, min(4, int(float(q.get("s", 1)))))
                     cam = orbit_camera(
                         center,
                         float(q.get("r", 3.0)),
                         float(q.get("az", 0.0)),
                         float(q.get("el", 15.0)),
-                        width=width,
-                        height=height,
+                        width=width // s,
+                        height=height // s,
                     )
                     tracer.update_camera(cam)
                     mesh_on = bool(q.get("type")) and tracer.primitives
