@@ -400,6 +400,145 @@ def render_gaussian_sharded_fast(
 
 @partial(
     jax.jit,
+    static_argnames=("config", "mesh", "pair_capacity", "tile_chunk"),
+)
+def render_gaussian_ring(
+    scene: GaussianScene,
+    camera: Camera,
+    config: RenderConfig,
+    mesh: Mesh,
+    pair_capacity: int | None = None,
+    tile_chunk: int = 16,
+):
+    """Depth-slab gaussian partitioning with RAY RING EXCHANGE.
+
+    The ring-attention analog for volume rendering (SURVEY.md section 5,
+    long-context): device d owns depth slab d AND ray-tile block d. Each
+    round, every device marches the incoming ray block against its LOCAL
+    slab, folds the (radiance, transmittance) segment into the block's
+    carried partials, and ppermutes the block one step around the ring —
+    n_dev rounds visit every (block, slab) pair with NO all_gather: peak
+    per-device memory is one slab + one ray block, i.e. 1/n_dev of both,
+    versus render_gaussian_sharded_fast whose fold gathers all slabs'
+    (T, R) partials on every device.
+
+    Ordering: block b visits slabs b, b+1, ..., n-1, 0, ..., b-1. The
+    compositing fold is associative over DEPTH-ORDERED segments, so the
+    block carries TWO partials — 'back' accumulating slabs [b, n-1] and
+    'front' accumulating the wrapped slabs [0, b-1], each folded in
+    ascending depth order — combined once (front then back) at the end.
+    After the n-th permute every block is home; outputs shard over the
+    tile axis.
+    """
+    from gaussian_ray_tracing_tpu.models.tiled import (
+        default_pair_capacity,
+        march_frame,
+        prepare_frame,
+        tile_rays,
+        untile_image,
+    )
+
+    n = mesh.shape[GAUSS_AXIS]
+    N = scene.num_gaussians
+    if pair_capacity is None:
+        pair_capacity = default_pair_capacity(-(-N // n))
+
+    # contiguous view-depth slabs (as render_gaussian_sharded_fast)
+    U, V, W = camera.uvw_frame()
+    w_hat = W / jnp.maximum(jnp.linalg.norm(W), 1e-12)
+    depth = (scene.means - camera.eye) @ w_hat
+    order = jnp.argsort(depth)
+    pad = (-N) % n
+    if pad:
+        order = jnp.concatenate([order, order[-1:].repeat(pad)])
+    sorted_scene = GaussianScene(
+        means=scene.means[order],
+        scales=scene.scales[order],
+        quats=scene.quats[order],
+        opacities=jnp.where(
+            jnp.arange(order.shape[0]) < N, scene.opacities[order], 0.0
+        ),
+        sh=scene.sh[order],
+        num_active=scene.num_gaussians,
+    )
+
+    origins, dirs, valid = generate_rays(camera, config)
+    H, W_px = camera.height, camera.width
+    dirs_all = tile_rays(dirs, config.tile_w, config.tile_h)  # (T, R, 3)
+    T = dirs_all.shape[0]
+    R = dirs_all.shape[1]
+    T_local = -(-T // n)
+    pad_t = n * T_local - T
+    if pad_t:
+        dirs_all = jnp.pad(dirs_all, ((0, pad_t), (0, 0), (0, 0)))
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def local(scene_l, dirs_p):
+        # bin MY slab over ALL tiles once (binning is ray-block independent)
+        table, binning, _, _ = prepare_frame(scene_l, camera, config, pair_capacity)
+        cand_p = binning.cand
+        if pad_t:
+            cand_p = jnp.pad(cand_p, ((0, pad_t), (0, 0)), constant_values=-1)
+        s = jax.lax.axis_index(GAUSS_AXIS)
+
+        blk = jax.lax.dynamic_slice_in_dim(dirs_p, s * T_local, T_local, 0)
+        f32 = jnp.float32
+        f_rgb = jnp.zeros((T_local, R, 3), f32)
+        f_t = jnp.ones((T_local, R), f32)
+        b_rgb = jnp.zeros((T_local, R, 3), f32)
+        b_t = jnp.ones((T_local, R), f32)
+
+        def round_k(k, carry):
+            blk, f_rgb, f_t, b_rgb, b_t = carry
+            b = (s - k) % n  # id of the block currently on this device
+            cand_b = jax.lax.dynamic_slice_in_dim(cand_p, b * T_local, T_local, 0)
+            rgb_l, alpha_l = march_frame(
+                cand_b, blk, camera.eye, table, config, tile_chunk
+            )
+            t_l = 1.0 - alpha_l
+            fb = s >= b  # scalar: this slab folds into the back partial
+            f_rgb = jnp.where(fb, f_rgb, f_rgb + f_t[..., None] * rgb_l)
+            f_t = jnp.where(fb, f_t, f_t * t_l)
+            b_rgb = jnp.where(fb, b_rgb + b_t[..., None] * rgb_l, b_rgb)
+            b_t = jnp.where(fb, b_t * t_l, b_t)
+            shift = lambda x: jax.lax.ppermute(x, GAUSS_AXIS, perm)
+            return (shift(blk), shift(f_rgb), shift(f_t),
+                    shift(b_rgb), shift(b_t))
+
+        blk, f_rgb, f_t, b_rgb, b_t = jax.lax.fori_loop(
+            0, n, round_k, (blk, f_rgb, f_t, b_rgb, b_t)
+        )
+        # depth order is front segment [0, b-1] then back segment [b, n-1]
+        rgb = f_rgb + f_t[..., None] * b_rgb
+        t_tot = f_t * b_t
+        return rgb, t_tot
+
+    scene_spec = GaussianScene(
+        means=P(GAUSS_AXIS), scales=P(GAUSS_AXIS), quats=P(GAUSS_AXIS),
+        opacities=P(GAUSS_AXIS), sh=P(GAUSS_AXIS), num_active=scene.num_gaussians,
+    )
+    rgb_t, t_total = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(scene_spec, P()),
+        out_specs=(P(GAUSS_AXIS), P(GAUSS_AXIS)),
+        check_vma=False,
+    )(sorted_scene, dirs_all)
+
+    rgb_t = rgb_t[:T]
+    t_total = t_total[:T]
+    rgb = untile_image(rgb_t, H, W_px, config.tile_w, config.tile_h)
+    alpha = untile_image(
+        (1.0 - t_total)[..., None], H, W_px, config.tile_w, config.tile_h
+    )[..., 0]
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    alpha = jnp.where(valid, alpha, 0.0)
+    return {"rgb": rgb, "alpha": alpha}
+
+
+@partial(
+    jax.jit,
     static_argnames=("config", "mesh", "pair_capacity", "chunk", "interpret"),
 )
 def render_pallas_sharded_diff(

@@ -137,6 +137,30 @@ def test_gaussian_sharded_fast_matches_oracle_slabs():
     assert float(psnr(a["rgb"], b["rgb"])) > 45.0
 
 
+def test_gaussian_ring_matches_allgather_fold():
+    """Ring exchange (ppermute ray blocks; two carried partials) computes
+    the same image as the all_gather slab fold, without ever gathering
+    the slab partials."""
+    from gaussian_ray_tracing_tpu.parallel.sharded import (
+        render_gaussian_ring,
+        render_gaussian_sharded_fast,
+    )
+
+    scene = random_scene(1500, seed=3)
+    cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                        width=64, height=32)
+    cfg = CFG.replace(order="window", max_per_tile=4096)
+    mesh = make_mesh(8, axis=GAUSS_AXIS)
+    a = render_gaussian_sharded_fast(scene, cam, cfg, mesh, pair_capacity=100_000)
+    b = render_gaussian_ring(scene, cam, cfg, mesh, pair_capacity=100_000)
+    np.testing.assert_allclose(
+        np.asarray(b["rgb"]), np.asarray(a["rgb"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b["alpha"]), np.asarray(a["alpha"]), atol=2e-5
+    )
+
+
 def test_pallas_sharded_diff_grads_match_single():
     """Sharded fused-kernel training grads (hand-written backward per shard,
     psum by shard_map transpose) are bit-identical to single device."""
