@@ -48,6 +48,9 @@ def _add_render_args(p: argparse.ArgumentParser):
     p.add_argument("--add-plane", action="store_true")
     p.add_argument("--add-sphere", action="store_true")
     p.add_argument("--load-obj", type=str, default=None)
+    p.add_argument("--supersample", type=int, default=1,
+                   help="N: trace NxN rays per pixel and box-filter "
+                        "(anti-aliasing; the reference traces 1/pixel)")
 
 
 def _build(args):
@@ -100,7 +103,8 @@ def cmd_render(args):
     from gaussian_ray_tracing_tpu.utils.image import write_png
 
     tracer = _build(args)
-    frame = tracer.render_rgb8(method=args.method)
+    frame = tracer.render_rgb8(method=args.method,
+                               supersample=getattr(args, "supersample", 1))
     write_png(args.output, frame)
     print(f"wrote {args.output} ({frame.shape[1]}x{frame.shape[0]})")
 

@@ -36,8 +36,34 @@ def render(
     method: str = "auto",
     pair_capacity: int | None = None,
     return_aux: bool = False,
+    supersample: int = 1,
 ):
-    """Render a frame. method: auto | oracle | tiled | pallas."""
+    """Render a frame. method: auto | oracle | tiled | pallas.
+
+    supersample=N renders at NxN sub-pixel resolution and box-filters down
+    — anti-aliasing the reference lacks (one ray per pixel,
+    tracer.cu:17-110; 3DGRUT adds MSAA-style filtering). Ray-traced
+    supersampling is exact for any camera model, including distorted ones.
+    """
+    if supersample > 1:
+        import jax.numpy as jnp
+
+        s = int(supersample)
+        hi = Camera.create(
+            eye=camera.eye, lookat=camera.lookat, up=camera.up,
+            fov_y_deg=camera.fov_y_deg,
+            width=camera.width * s, height=camera.height * s,
+        )
+        out = render(scene, hi, config, mesh=mesh, method=method,
+                     pair_capacity=pair_capacity, return_aux=return_aux)
+        H, W = camera.height, camera.width
+        out["rgb"] = jnp.mean(
+            out["rgb"].reshape(H, s, W, s, 3), axis=(1, 3)
+        )
+        out["alpha"] = jnp.mean(
+            out["alpha"].reshape(H, s, W, s), axis=(1, 3)
+        )
+        return out
     if mesh is not None:
         return render_with_mesh(scene, mesh, camera, config)
     if method == "auto":
@@ -159,7 +185,7 @@ class GaussianRayTracer:
         self.config = self.config.replace(camera_model=model)
 
     # --- rendering ---
-    def render(self, method: str = "auto"):
+    def render(self, method: str = "auto", supersample: int = 1):
         """Render the current frame.
 
         Pair capacity is auto-bucketed from the previous frame's emitted
@@ -169,10 +195,11 @@ class GaussianRayTracer:
         mesh = merge_meshes(self.primitives) if self.primitives else None
         if mesh is not None:
             return render(self.scene, self.camera, self.config, mesh=mesh,
-                          method=method)
+                          method=method, supersample=supersample)
         out = render(
             self.scene, self.camera, self.config, method=method,
             pair_capacity=self._pair_capacity, return_aux=True,
+            supersample=supersample,
         )
         aux = out.pop("aux", None)
         if aux is not None and method != "oracle":
@@ -182,9 +209,9 @@ class GaussianRayTracer:
                 self._pair_capacity = want
         return out
 
-    def render_rgb8(self, method: str = "auto") -> np.ndarray:
+    def render_rgb8(self, method: str = "auto", supersample: int = 1) -> np.ndarray:
         """RGB8 quantized frame (shaders/tracer.cuh:484-496)."""
         from gaussian_ray_tracing_tpu.utils.image import quantize_rgb8
 
-        out = self.render(method=method)
+        out = self.render(method=method, supersample=supersample)
         return quantize_rgb8(np.asarray(out["rgb"]))

@@ -224,6 +224,23 @@ class TestMeshModes:
         np.testing.assert_allclose(out[:, 28:], mirror_only[:, 28:], atol=1e-5)
 
 
+class TestSupersampling:
+    def test_matches_manual_downsample(self):
+        from gaussian_ray_tracing_tpu.models.renderer import render
+
+        scene = random_scene(500, seed=3)
+        cam = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+                            width=48, height=32)
+        out = render(scene, cam, CFG, method="tiled", supersample=2)
+        hi_cam = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+                               width=96, height=64)
+        hi = np.asarray(render(scene, hi_cam, CFG, method="tiled")["rgb"])
+        want = hi.reshape(32, 2, 48, 2, 3).mean(axis=(1, 3))
+        np.testing.assert_allclose(np.asarray(out["rgb"]), want, atol=1e-6)
+        assert np.asarray(out["rgb"]).shape == (32, 48, 3)
+        assert np.asarray(out["alpha"]).shape == (32, 48)
+
+
 class TestRuntimeAPI:
     def test_tracer_class(self):
         scene = random_scene(500, seed=3)
