@@ -149,6 +149,63 @@ def generate_rays(camera: Camera, config: RenderConfig):
     return origins, dirs, valid
 
 
+def lerp_camera(cam0: Camera, cam1: Camera, t: float) -> Camera:
+    """Linear pose interpolation (small inter-frame motion)."""
+    lerp = lambda a, b: a + t * (b - a)
+    return Camera(
+        eye=lerp(cam0.eye, cam1.eye),
+        lookat=lerp(cam0.lookat, cam1.lookat),
+        up=lerp(cam0.up, cam1.up),
+        fov_y_deg=cam0.fov_y_deg,
+        width=cam0.width,
+        height=cam0.height,
+    )
+
+
+def generate_rays_rolling(cam0: Camera, cam1: Camera, config: RenderConfig):
+    """Rolling-shutter primary rays: scanline y is exposed at readout time
+    t = y/(H-1), with the camera pose linearly interpolated cam0 -> cam1
+    (3DGRUT-style rolling shutter; the reference has a single global
+    shutter, shaders/tracer.cu:17-110). Per-ROW poses, vectorized:
+    every per-camera scalar of the UVW frame becomes an (H,) array.
+
+    Returns (origins (H, W, 3), dirs (H, W, 3) normalized, valid (H, W)).
+    """
+    if config.camera_model == CameraModel.FISHEYE:
+        raise NotImplementedError("rolling shutter: pinhole/opencv only")
+    H, Wd = cam0.height, cam0.width
+    t = jnp.linspace(0.0, 1.0, H)[:, None]  # (H, 1)
+    eye = cam0.eye[None] + t * (cam1.eye - cam0.eye)[None]  # (H, 3)
+    lookat = cam0.lookat[None] + t * (cam1.lookat - cam0.lookat)[None]
+    up = cam0.up[None] + t * (cam1.up - cam0.up)[None]
+
+    W = lookat - eye  # (H, 3)
+    wlen = jnp.linalg.norm(W, axis=-1, keepdims=True)
+    U = _normalize(jnp.cross(W, up))
+    V = _normalize(jnp.cross(U, W))
+    vlen = wlen * jnp.tan(0.5 * jnp.deg2rad(jnp.float32(cam0.fov_y_deg)))
+    ulen = vlen * cam0.aspect
+    U = U * ulen
+    V = V * vlen
+
+    d = pixel_ndc(Wd, H)
+    dx, dy = d[..., 0], d[..., 1]  # (H, W)
+    if config.camera_model == CameraModel.OPENCV:
+        cu = (jnp.linalg.norm(U, axis=-1) / wlen[:, 0])[:, None]
+        cv = (jnp.linalg.norm(V, axis=-1) / wlen[:, 0])[:, None]
+        xi, yi = undistort_opencv(dx * cu, dy * cv, config.distortion)
+        dx, dy = xi / cu, yi / cv
+    dirs = (
+        dx[..., None] * -U[:, None, :]
+        + dy[..., None] * -V[:, None, :]
+        + W[:, None, :]
+    )
+    dirs = _normalize(dirs)
+    origins = jnp.broadcast_to(eye[:, None, :], dirs.shape)
+    valid = jnp.ones(dirs.shape[:-1], bool)
+    return origins, dirs, valid
+
+
 def orbit_camera(center, radius: float, azimuth_deg: float, elevation_deg: float,
                  **kw) -> Camera:
     """Convenience orbit camera around a scene center."""
