@@ -177,8 +177,9 @@ def cmd_orbit(args):
 
 
 def cmd_fit(args):
-    """Fit a randomly initialized scene to renders of the target scene —
-    the training capability the reference lacks (README.md:2)."""
+    """Fit a randomly initialized scene to target images — renders of a
+    target scene, or a NeRF-synthetic dataset (--dataset). The training
+    capability the reference lacks (README.md:2)."""
     import jax
 
     from gaussian_ray_tracing_tpu.cameras import orbit_camera
@@ -190,6 +191,61 @@ def cmd_fit(args):
 
     cfg = RenderConfig(hit_multiplicity=1, order="key",
                        sh_degree=args.sh_degree)
+    if getattr(args, "dataset", None):
+        import jax.numpy as jnp
+
+        from gaussian_ray_tracing_tpu.scene.dataset import load_nerf_synthetic
+
+        views_np, meta = load_nerf_synthetic(
+            args.dataset, split=args.split, downscale=args.downscale,
+            max_views=args.views if args.views else None,
+        )
+        views = [(cam, jnp.asarray(img)) for cam, img in views_np]
+        init = random_scene(args.fit_gaussians, seed=args.seed + 1,
+                            extent=meta["extent"] * 0.5,
+                            pad_to=args.capacity)
+        init = type(init)(  # recenter on the dataset
+            means=init.means + jnp.asarray(meta["center"], jnp.float32),
+            scales=init.scales, quats=init.quats,
+            opacities=init.opacities, sh=init.sh,
+            num_active=init.num_active,
+        )
+        density = None
+        if args.densify:
+            from gaussian_ray_tracing_tpu.train.density import DensityConfig
+
+            density = DensityConfig(
+                densify_from_step=max(args.steps // 20, 10),
+                densify_until_step=args.steps // 2,
+                densify_every=max(args.steps // 30, 10),
+                opacity_reset_every=0,
+                grad_threshold=args.densify_grad_threshold,
+            )
+        loss_fn = None
+        if args.loss == "dssim_l1":
+            from gaussian_ray_tracing_tpu.train.losses import dssim_l1_loss
+
+            loss_fn = dssim_l1_loss
+        optimizer = None
+        if args.optimizer == "3dgs":
+            from gaussian_ray_tracing_tpu.train.trainer import gaussian_optimizer
+
+            optimizer = gaussian_optimizer(
+                scene_extent=max(meta["extent"], 1e-3), total_steps=args.steps
+            )
+        trainer = Trainer(GaussianModel.from_scene(init), config=cfg,
+                          lr=args.lr, loss_fn=loss_fn, optimizer=optimizer,
+                          density=density, seed=args.seed)
+        losses = trainer.fit(views, steps=args.steps)
+        if args.output:
+            trainer.save(args.output)
+        print(json.dumps({
+            "dataset": args.dataset, "views": len(views),
+            "loss_first": losses[0], "loss_last": losses[-1],
+            "steps": args.steps, "out": args.output,
+            "alive": trainer.alive() if args.densify else None,
+        }))
+        return
     if args.ply:
         from gaussian_ray_tracing_tpu.scene.ply import load_ply
 
@@ -383,6 +439,10 @@ def main(argv=None):
                         "(the 3DGS default)")
     p.add_argument("--loss", choices=["l2", "dssim_l1"], default="l2")
     p.add_argument("--optimizer", choices=["adam", "3dgs"], default="adam")
+    p.add_argument("--dataset", type=str, default=None,
+                   help="NeRF-synthetic dataset root (transforms_*.json)")
+    p.add_argument("--split", type=str, default="train")
+    p.add_argument("--downscale", type=int, default=1)
     p.add_argument("-o", "--output", type=str, default=None)
     p.set_defaults(fn=cmd_fit)
 
