@@ -254,8 +254,11 @@ class Trainer:
         worst = max(
             int(count_pairs(scene, cam, self.config)) for cam, _ in views
         )
-        cap = max(1 << 16, 1 << math.ceil(math.log2(max(worst, 1) * 1.3)))
-        if cap != self._pair_capacity:
+        # 64k-multiple buckets: snug (a power-of-two bucket wastes up to 2x
+        # of sort/gather time) while still amortizing recompiles; only
+        # GROW mid-run (shrinking would recompile on noise)
+        cap = max(1 << 16, -(-int(worst * 1.3) // 65536) * 65536)
+        if self._pair_capacity is None or cap > self._pair_capacity:
             self._pair_capacity = cap
             self._build_step()
 
