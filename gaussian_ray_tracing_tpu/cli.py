@@ -176,6 +176,27 @@ def cmd_orbit(args):
     print(f"wrote {args.frames} frames to {args.output_dir}")
 
 
+def _maybe_resume(trainer, args):
+    """Restore an orbax checkpoint if --checkpoint-dir holds one."""
+    import os
+
+    d = getattr(args, "checkpoint_dir", None)
+    if not d:
+        return
+    if os.path.isdir(d) and any(
+        s.isdigit() for s in os.listdir(d)
+    ):
+        trainer.restore_checkpoint(d)
+        print(f"# resumed from {d} at step {int(trainer.state.step)}",
+              file=sys.stderr)
+
+
+def _maybe_checkpoint(trainer, args):
+    d = getattr(args, "checkpoint_dir", None)
+    if d:
+        trainer.save_checkpoint(d)
+
+
 def cmd_fit(args):
     """Fit a randomly initialized scene to target images — renders of a
     target scene, or a NeRF-synthetic dataset (--dataset). The training
@@ -236,7 +257,9 @@ def cmd_fit(args):
         trainer = Trainer(GaussianModel.from_scene(init), config=cfg,
                           lr=args.lr, loss_fn=loss_fn, optimizer=optimizer,
                           density=density, seed=args.seed)
+        _maybe_resume(trainer, args)
         losses = trainer.fit(views, steps=args.steps)
+        _maybe_checkpoint(trainer, args)
         if args.output:
             trainer.save(args.output)
         print(json.dumps({
@@ -290,7 +313,9 @@ def cmd_fit(args):
     trainer = Trainer(GaussianModel.from_scene(init), config=cfg, lr=args.lr,
                       loss_fn=loss_fn, optimizer=optimizer, density=density,
                       seed=args.seed)
+    _maybe_resume(trainer, args)
     losses = trainer.fit(views, steps=args.steps)
+    _maybe_checkpoint(trainer, args)
     if args.output:
         trainer.save(args.output)
     print(json.dumps({
@@ -443,6 +468,10 @@ def main(argv=None):
                    help="NeRF-synthetic dataset root (transforms_*.json)")
     p.add_argument("--split", type=str, default="train")
     p.add_argument("--downscale", type=int, default=1)
+    p.add_argument("--checkpoint-dir", type=str, default=None,
+                   help="orbax checkpoint dir: saved after fitting, "
+                        "restored first when it already holds a step "
+                        "(resumable training)")
     p.add_argument("-o", "--output", type=str, default=None)
     p.set_defaults(fn=cmd_fit)
 
