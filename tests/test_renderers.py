@@ -119,6 +119,21 @@ class TestTiledParity:
         p = psnr(np.asarray(ref["rgb"]), np.asarray(out["rgb"]))
         assert p >= 40.0, f"tiled vs oracle PSNR {p:.1f} dB < 40"
 
+    def test_bench_config_is_parity_grade(self):
+        """Pin the HEADLINE bench configuration (order='window',
+        march_chunk=128 — see bench.py) above the BASELINE PSNR>=40 bar on
+        the adversarial dense scene, so future perf work can't silently
+        trade the parity claim away."""
+        scene = random_scene(2000, seed=3)
+        cam = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+                            width=96, height=64)
+        cfg = RenderConfig(hit_multiplicity=1, order="window",
+                           march_chunk=128, max_per_tile=2048)
+        ref = render_oracle(scene, cam, cfg)
+        out = render_tiled(scene, cam, cfg)
+        p = psnr(np.asarray(ref["rgb"]), np.asarray(out["rgb"]))
+        assert p >= 40.0, f"bench config PSNR {p:.1f} dB < 40"
+
     def test_tiled_sh_degree3(self):
         scene = random_scene(1000, seed=8)
         cam = Camera.create(eye=(0, 0, 2.6), lookat=(0, 0, 0), width=64, height=48)
