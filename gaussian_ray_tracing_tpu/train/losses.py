@@ -8,7 +8,6 @@ the MXU.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -28,11 +27,14 @@ def psnr_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return 10.0 * jnp.log10(mse)
 
 
-@functools.lru_cache(maxsize=4)
 def _ssim_window(size: int, sigma: float):
-    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
-    w = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return w / jnp.sum(w)
+    # NumPy on purpose: an lru_cache'd jnp computation would cache a TRACER
+    # on the first jit trace and leak it into later traces
+    import numpy as np
+
+    x = np.arange(size, dtype=np.float32) - (size - 1) / 2.0
+    w = np.exp(-0.5 * (x / sigma) ** 2)
+    return jnp.asarray(w / np.sum(w))
 
 
 def _blur(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:

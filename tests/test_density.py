@@ -159,6 +159,21 @@ class TestSSIM:
         assert bool(jnp.isfinite(g).all())
 
 
+class TestSSIMRetrace:
+    def test_ssim_across_jit_traces(self):
+        """Regression: the SSIM window must not be lru_cache'd as a traced
+        value — a second jit trace (e.g. the trainer recompiling at a new
+        pair-capacity bucket) would see the first trace's leaked tracer."""
+        import jax
+
+        from gaussian_ray_tracing_tpu.train.losses import ssim
+
+        a = jax.random.uniform(jax.random.PRNGKey(0), (16, 24, 3))
+        b = jax.random.uniform(jax.random.PRNGKey(1), (20, 16, 3))
+        assert float(jax.jit(ssim)(a, a)) == pytest.approx(1.0, abs=1e-5)
+        assert float(jax.jit(ssim)(b, b)) == pytest.approx(1.0, abs=1e-5)
+
+
 class TestGaussianOptimizer:
     def test_per_group_rates_and_moment_reset(self):
         from gaussian_ray_tracing_tpu.train.trainer import (
