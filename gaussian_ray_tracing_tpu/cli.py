@@ -369,6 +369,35 @@ def cmd_serve(args):
           width=args.width, height=args.height)
 
 
+def cmd_eval(args):
+    """PSNR of scene B (e.g. a fit) against scene A over orbit poses."""
+    from gaussian_ray_tracing_tpu.cameras import orbit_camera
+    from gaussian_ray_tracing_tpu.config import RenderConfig
+    from gaussian_ray_tracing_tpu.models.renderer import render
+    from gaussian_ray_tracing_tpu.scene.ply import load_ply
+    from gaussian_ray_tracing_tpu.utils.image import psnr
+
+    cfg = RenderConfig(hit_multiplicity=1, order="key",
+                       sh_degree=args.sh_degree)
+    a = load_ply(args.ply)
+    b = load_ply(args.against)
+    c = np.asarray(a.center())
+    scores = []
+    for i in range(args.poses):
+        az = 360.0 * (i + 0.37) / args.poses  # offset: unlikely train poses
+        cam = orbit_camera(c, args.radius, az, 15.0,
+                           width=args.width, height=args.height)
+        ra = np.asarray(render(a, cam, cfg)["rgb"])
+        rb = np.asarray(render(b, cam, cfg)["rgb"])
+        scores.append(float(psnr(ra, rb)))
+    print(json.dumps({
+        "psnr_mean": round(float(np.mean(scores)), 2),
+        "psnr_min": round(float(np.min(scores)), 2),
+        "poses": args.poses,
+        "scenes": [args.ply, args.against],
+    }))
+
+
 def cmd_warmup(args):
     """Populate the persistent compilation cache for the common config set
     (first Mosaic compiles take minutes; cached reruns are instant). Run
@@ -489,6 +518,16 @@ def main(argv=None):
     p = sub.add_parser("info", help="scene statistics")
     _add_scene_args(p); _add_camera_args(p)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("eval", help="PSNR between two PLY scenes over poses")
+    p.add_argument("-p", "--ply", type=str, required=True, help="reference PLY")
+    p.add_argument("--against", type=str, required=True, help="candidate PLY")
+    p.add_argument("--poses", type=int, default=6)
+    p.add_argument("--radius", type=float, default=2.8)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--sh-degree", type=int, default=0)
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("warmup", help="precompile the common config set")
     _add_scene_args(p)
