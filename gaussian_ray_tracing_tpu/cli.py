@@ -252,7 +252,8 @@ def cmd_fit(args):
             from gaussian_ray_tracing_tpu.train.trainer import gaussian_optimizer
 
             optimizer = gaussian_optimizer(
-                scene_extent=max(meta["extent"], 1e-3), total_steps=args.steps
+                scene_extent=max(meta["extent"], 1e-3), total_steps=args.steps,
+                lr_scale=args.lr_scale,
             )
         trainer = Trainer(GaussianModel.from_scene(init), config=cfg,
                           lr=args.lr, loss_fn=loss_fn, optimizer=optimizer,
@@ -309,7 +310,8 @@ def cmd_fit(args):
         ext = float(np.linalg.norm(
             np.asarray(init.means) - center[None], axis=-1).max())
         optimizer = gaussian_optimizer(scene_extent=max(ext, 1e-3),
-                                       total_steps=args.steps)
+                                       total_steps=args.steps,
+                                       lr_scale=args.lr_scale)
     trainer = Trainer(GaussianModel.from_scene(init), config=cfg, lr=args.lr,
                       loss_fn=loss_fn, optimizer=optimizer, density=density,
                       seed=args.seed)
@@ -493,6 +495,9 @@ def main(argv=None):
                         "(the 3DGS default)")
     p.add_argument("--loss", choices=["l2", "dssim_l1"], default="l2")
     p.add_argument("--optimizer", choices=["adam", "3dgs"], default="adam")
+    p.add_argument("--lr-scale", type=float, default=1.0,
+                   help="multiplier on the 3dgs per-group rates (raise for "
+                        "schedules much shorter than the 30k-step default)")
     p.add_argument("--dataset", type=str, default=None,
                    help="NeRF-synthetic dataset root (transforms_*.json)")
     p.add_argument("--split", type=str, default="train")
