@@ -394,7 +394,7 @@ def render_with_mesh_fast(
             rgb_t, t_next = pallas_march_stream(
                 stream.starts, camera.eye.astype(jnp.float32), pair_feats,
                 d_live, config, n_tiles=n_tiles, rays_per_tile=R, chunk=chunk,
-                interpret=interpret, t_hi=seg_hi, t0=trans,
+                interpret=interpret, t_hi=seg_hi, t0=trans, quad=True,
             )
         else:
             bundles = bundle_rays(o_t, d_live)

@@ -51,8 +51,11 @@ def prepare_pair_stream(
 ):
     """Primary-view frame prep shared by the plain and mesh-bounce renderers:
     feature table -> tight footprints -> sorted pair stream -> ONE padded
-    per-pair feature gather (128 columns for lane-aligned kernel DMAs)."""
-    table, M, radius = feature_table(scene, config)
+    per-pair feature gather (128 columns for lane-aligned kernel DMAs).
+
+    The table carries the quadratic-form columns for the kernel's MXU
+    response path (shared primary-ray origin; see feature_table)."""
+    table, M, radius = feature_table(scene, config, eye=camera.eye)
     bound_radius = radius * jnp.max(scene.scales, axis=-1)
     fp = project_footprints_conic(
         scene.means, scene.scales, scene.quats, radius, bound_radius,
@@ -98,7 +101,7 @@ def prepare_pair_stream(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "pair_capacity", "chunk", "interpret", "return_aux"),
+    static_argnames=("config", "pair_capacity", "chunk", "interpret", "return_aux", "quad"),
 )
 def render_pallas(
     scene: GaussianScene,
@@ -108,6 +111,7 @@ def render_pallas(
     chunk: int | None = None,
     interpret: bool | None = None,
     return_aux: bool = False,
+    quad: bool = True,
 ):
     """Full-frame primary-ray render via the Pallas march kernel.
 
@@ -139,6 +143,7 @@ def render_pallas(
         rays_per_tile=config.rays_per_tile,
         chunk=chunk,
         interpret=interpret,
+        quad=quad,
     )
 
     H, W = camera.height, camera.width

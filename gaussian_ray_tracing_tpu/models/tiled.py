@@ -239,11 +239,26 @@ def march_tile_chunk(
     return jnp.stack([r, g, b], axis=-1), 1.0 - t_final
 
 
-def feature_table(scene: GaussianScene, config: RenderConfig):
+def feature_table(scene: GaussianScene, config: RenderConfig, eye=None):
     """Packed per-gaussian feature table (N, 14+3K) float32.
 
     Columns: [mx, my, mz, m00..m22 (rows of M = S^-1 R^T), opacity,
     iso radius, sh_r[0..K-1], sh_g[0..K-1], sh_b[0..K-1]].
+
+    With `eye` (shared primary-ray origin), per-gaussian QUADRATIC-FORM
+    columns are appended at fixed indices 64..79 (the table is padded to
+    128 lanes for the kernel DMA anyway): with Q = M^T M and rel = eye - mu,
+
+      64..69: q00, q11, q22, q01, q02, q12   (Q is symmetric)
+      72..74: v = Q rel
+      75:     cq = rel^T Q rel - radius^2
+      76:     oo = rel^T Q rel
+      77..79: cr, cg, cb = max(0.5 + C0*sh0, 0)  (sh_degree 0 only)
+
+    These turn the march's per-(candidate, ray) response math into two tiny
+    MXU matmuls (see ops/pallas_march._march_kernel quad path):
+    dd = d^T Q d = q . [dx2, dy2, dz2, 2dxdy, 2dxdz, 2dydz] and
+    od = rel^T Q d = v . d, replacing ~25 VPU broadcast ops per chunk.
 
     One packed table means the per-frame candidate feature fetch is a
     SINGLE row gather: TPU row gathers are row-count-bound (1..128 columns
@@ -261,7 +276,43 @@ def feature_table(scene: GaussianScene, config: RenderConfig):
         scene.sh[:, :k, 1],
         scene.sh[:, :k, 2],
     ]
-    return jnp.concatenate(cols, axis=1), M, radius
+    table = jnp.concatenate(cols, axis=1)
+    if eye is not None:
+        F = table.shape[1]
+        if F > QUAD_Q0:
+            raise ValueError(
+                f"feature table width {F} collides with quad columns at "
+                f"{QUAD_Q0}; lower sh_degree or move QUAD_Q0"
+            )
+        Q = jnp.einsum("nki,nkj->nij", M, M)  # (N, 3, 3) = M^T M
+        rel = jnp.asarray(eye, jnp.float32)[None, :] - scene.means  # (N, 3)
+        v = jnp.einsum("nij,nj->ni", Q, rel)
+        oo = jnp.sum(rel * v, axis=-1)
+        cq = oo - radius * radius
+        n = table.shape[0]
+        z1 = jnp.zeros((n, 1), jnp.float32)
+        quad = [
+            Q[:, 0, 0, None], Q[:, 1, 1, None], Q[:, 2, 2, None],
+            Q[:, 0, 1, None], Q[:, 0, 2, None], Q[:, 1, 2, None],
+            z1, z1,  # 70, 71
+            v,  # 72..74
+            cq[:, None], oo[:, None],  # 75, 76
+        ]
+        if config.sh_degree == 0:
+            rgb0 = jnp.maximum(0.5 + SH_C0 * scene.sh[:, 0, :], 0.0)  # (N, 3)
+            quad.append(rgb0)  # 77..79
+        table = jnp.concatenate(
+            [table, jnp.zeros((n, QUAD_Q0 - F), jnp.float32), *quad], axis=1
+        )
+    return table, M, radius
+
+
+# fixed column indices of the quadratic-form block (see feature_table)
+QUAD_Q0 = 64  # q00,q11,q22,q01,q02,q12 at 64..69 (+2 pad)
+QUAD_V0 = 72  # vx,vy,vz at 72..74
+QUAD_CQ = 75
+QUAD_OO = 76
+QUAD_RGB = 77  # cr,cg,cb at 77..79 (sh_degree 0)
 
 
 def unpack_columns(g: jnp.ndarray, n_coeffs: int) -> dict:

@@ -46,6 +46,12 @@ _MX, _MY, _MZ = 0, 1, 2
 _M0 = 3  # m00..m22 -> columns 3..11
 _OP, _RAD = 12, 13
 _SH0 = 14  # sh_r[0..K-1], sh_g[...], sh_b[...]
+# quadratic-form block (models/tiled.feature_table with eye): Q = M^T M
+_Q0 = 64  # q00,q11,q22,q01,q02,q12 (+2 pad) -> 64..71
+_V0 = 72  # v = Q (eye - mu) -> 72..74 (rows 75..79 of the od matmul RHS
+#           are zero, so sharing the 72:80 slice with cq/oo/rgb is safe)
+_CQ, _OO = 75, 76
+_RGB0 = 77  # max(0.5 + C0*sh0, 0) per channel (sh_degree 0)
 
 
 def _roll(x: jnp.ndarray, shift: int) -> jnp.ndarray:
@@ -93,6 +99,7 @@ def _march_kernel(
     per_ray_origin: bool,
     block_mode: bool,
     save_tin: bool,
+    quad: bool,
 ):
     rest = list(rest)
     orig_ref = rest.pop(0) if per_ray_origin else None
@@ -129,6 +136,18 @@ def _march_kernel(
     K = num_coeffs(sh_deg)
     # list of K (1, R) arrays: layout-free per-ray basis values
     basis = sh_basis_list(dx, dy, dz, sh_deg) if sh_deg > 0 else None
+
+    if quad:
+        # per-tile MXU RHS panels for the quadratic-form response: with
+        # Q = M^T M, dd = d^T Q d = q . m2(d) and od = (eye-mu)^T Q d = v . d
+        # — two (c, 8) @ (8, R) matmuls replace ~25 VPU broadcast ops
+        zr = jnp.zeros((1, R), f32)
+        m2_rhs = jnp.concatenate(
+            [dx * dx, dy * dy, dz * dz,
+             2.0 * dx * dy, 2.0 * dx * dz, 2.0 * dy * dz, zr, zr],
+            axis=0,
+        )  # (8, R)
+        d_rhs = jnp.concatenate([dx, dy, dz, zr, zr, zr, zr, zr], axis=0)
 
     def get_dma(slot, j):
         if block_mode:
@@ -176,55 +195,84 @@ def _march_kernel(
         def _():
             g = fbuf[slot]  # (c, F)
             col = lambda k: g[:, k : k + 1]  # (c, 1)
-            m = [col(_M0 + k) for k in range(9)]
             op = col(_OP)
-            rad = col(_RAD)
-
-            # canonical frame: o_g = M (origin - mu), d_g = M d
-            if per_ray_origin:
-                orow = orig_ref[0]  # (8, R)
-                ox = orow[0:1, :] - col(_MX)  # (c, R)
-                oy = orow[1:2, :] - col(_MY)
-                oz = orow[2:3, :] - col(_MZ)
-            else:
-                ox = ex - col(_MX)  # (c, 1): rays share the eye
-                oy = ey - col(_MY)
-                oz = ez - col(_MZ)
-            ogx = m[0] * ox + m[1] * oy + m[2] * oz  # (c, 1) or (c, R)
-            ogy = m[3] * ox + m[4] * oy + m[5] * oz
-            ogz = m[6] * ox + m[7] * oy + m[8] * oz
-            dgx = m[0] * dx + m[1] * dy + m[2] * dz  # (c, R)
-            dgy = m[3] * dx + m[4] * dy + m[5] * dz
-            dgz = m[6] * dx + m[7] * dy + m[8] * dz
-
-            dd = dgx * dgx + dgy * dgy + dgz * dgz
-            od = ogx * dgx + ogy * dgy + ogz * dgz
-            oo = ogx * ogx + ogy * ogy + ogz * ogz  # (c, 1) or (c, R)
-
-            # max response along the ray (shaders/tracer.cuh:187-214)
-            t_star = -od / jnp.maximum(dd, 1e-6)
-            pp = oo + t_star * (2.0 * od + t_star * dd)
-            resp = jnp.exp(-0.5 * jnp.maximum(pp, 0.0))
-            alpha = jnp.minimum(config.alpha_clamp, resp * op)
-
-            # iso-ellipsoid event within [t_min, t_max] (oracle hit rule)
-            cq = oo - rad * rad
-            disc = od * od - dd * cq
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            inv_dd = 1.0 / jnp.maximum(dd, 1e-12)
-            t_entry = (-od - sq) * inv_dd
-            t_exit = (-od + sq) * inv_dd
-            t_event = jnp.where(t_entry < t_lo, t_exit, t_entry)
-            in_window = (t_event >= t_lo) & (t_event <= t_hi)
 
             present = cand_idx < (n - j * c)  # (c, 1) tail mask
-            gate = (
-                present
-                & (disc >= 0.0)
-                & in_window
-                & live
-                & (alpha > config.alpha_min)
-            )
+            if quad:
+                # quadratic-form response on the MXU (shared origin):
+                # dd = d^T Q d, od = (eye - mu)^T Q d, oo/cq per-candidate
+                dd = jnp.dot(g[:, _Q0 : _Q0 + 8], m2_rhs,
+                             preferred_element_type=f32)  # (c, R)
+                od = jnp.dot(g[:, _V0 : _V0 + 8], d_rhs,
+                             preferred_element_type=f32)  # (c, R)
+                cq = col(_CQ)
+                oo_b = col(_OO)
+                rcp6 = 1.0 / jnp.maximum(dd, 1e-6)
+                t_star = -od * rcp6
+                pp = oo_b + od * t_star  # oo - od^2/dd
+                resp = jnp.exp(-0.5 * jnp.maximum(pp, 0.0))
+                alpha = jnp.minimum(config.alpha_clamp, resp * op)
+                disc = od * od - dd * cq
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                inv_dd = 1.0 / jnp.maximum(dd, 1e-12)
+                t_entry = (-od - sq) * inv_dd
+                t_exit = (-od + sq) * inv_dd
+                t_event = jnp.where(t_entry < t_lo, t_exit, t_entry)
+                in_window = (t_event >= t_lo) & (t_event <= t_hi)
+                # disc >= 0 is implied by alpha > alpha_min (the adaptive
+                # radius is the alpha_min iso-surface: resp*op > alpha_min
+                # <=> pp < rad^2 <=> disc > 0), so the gate drops it
+                gate = (
+                    present & in_window & live & (alpha > config.alpha_min)
+                )
+            else:
+                rad = col(_RAD)
+
+                # canonical frame: o_g = M (origin - mu), d_g = M d
+                m = [col(_M0 + k) for k in range(9)]
+                if per_ray_origin:
+                    orow = orig_ref[0]  # (8, R)
+                    ox = orow[0:1, :] - col(_MX)  # (c, R)
+                    oy = orow[1:2, :] - col(_MY)
+                    oz = orow[2:3, :] - col(_MZ)
+                else:
+                    ox = ex - col(_MX)  # (c, 1): rays share the eye
+                    oy = ey - col(_MY)
+                    oz = ez - col(_MZ)
+                ogx = m[0] * ox + m[1] * oy + m[2] * oz  # (c, 1) or (c, R)
+                ogy = m[3] * ox + m[4] * oy + m[5] * oz
+                ogz = m[6] * ox + m[7] * oy + m[8] * oz
+                dgx = m[0] * dx + m[1] * dy + m[2] * dz  # (c, R)
+                dgy = m[3] * dx + m[4] * dy + m[5] * dz
+                dgz = m[6] * dx + m[7] * dy + m[8] * dz
+
+                dd = dgx * dgx + dgy * dgy + dgz * dgz
+                od = ogx * dgx + ogy * dgy + ogz * dgz
+                oo = ogx * ogx + ogy * ogy + ogz * ogz  # (c, 1) or (c, R)
+
+                # max response along the ray (shaders/tracer.cuh:187-214)
+                t_star = -od / jnp.maximum(dd, 1e-6)
+                pp = oo + t_star * (2.0 * od + t_star * dd)
+                resp = jnp.exp(-0.5 * jnp.maximum(pp, 0.0))
+                alpha = jnp.minimum(config.alpha_clamp, resp * op)
+
+                # iso-ellipsoid event within [t_min, t_max] (oracle hit rule)
+                cq = oo - rad * rad
+                disc = od * od - dd * cq
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                inv_dd = 1.0 / jnp.maximum(dd, 1e-12)
+                t_entry = (-od - sq) * inv_dd
+                t_exit = (-od + sq) * inv_dd
+                t_event = jnp.where(t_entry < t_lo, t_exit, t_entry)
+                in_window = (t_event >= t_lo) & (t_event <= t_hi)
+
+                gate = (
+                    present
+                    & (disc >= 0.0)
+                    & in_window
+                    & live
+                    & (alpha > config.alpha_min)
+                )
             if config.hit_multiplicity == 1:
                 a_eff = alpha
             else:
@@ -235,9 +283,12 @@ def _march_kernel(
             colors = []
             for ch in range(3):
                 if sh_deg == 0:
-                    colors.append(
-                        jnp.maximum(0.5 + SH_C0 * col(_SH0 + ch * K), 0.0)
-                    )  # (c, 1)
+                    if quad:
+                        colors.append(col(_RGB0 + ch))  # precomputed, clamped
+                    else:
+                        colors.append(
+                            jnp.maximum(0.5 + SH_C0 * col(_SH0 + ch * K), 0.0)
+                        )  # (c, 1)
                 else:
                     acc_c = jnp.full((c, R), 0.5, f32)
                     for k in range(K):
@@ -317,11 +368,21 @@ def _march_kernel(
                 t_carry > config.min_transmittance, t_next, t_carry
             )
 
-            # per-channel radiance accumulation
-            for ch in range(3):
-                acc[ch : ch + 1, :] = acc[ch : ch + 1, :] + jnp.sum(
-                    w * colors[ch], axis=0, keepdims=True
-                )
+            # per-channel radiance accumulation; when colors are per-candidate
+            # (c, 1) columns, the contraction over candidates is ONE MXU
+            # matmul (3, c) @ (c, R) instead of 3 broadcast-multiply+reduce
+            if quad and sh_deg == 0 and config.order != "window":
+                rgb_acc = jax.lax.dot_general(
+                    g[:, _RGB0 : _RGB0 + 3], w,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )  # (3, R)
+                acc[0:3, :] = acc[0:3, :] + rgb_acc
+            else:
+                for ch in range(3):
+                    acc[ch : ch + 1, :] = acc[ch : ch + 1, :] + jnp.sum(
+                        w * colors[ch], axis=0, keepdims=True
+                    )
 
         return 0
 
@@ -332,7 +393,7 @@ def _march_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "n_tiles", "rays_per_tile", "chunk", "interpret", "save_tin"),
+    static_argnames=("config", "n_tiles", "rays_per_tile", "chunk", "interpret", "save_tin", "quad"),
 )
 def pallas_march_stream(
     starts: jnp.ndarray,  # (T+1,) int32
@@ -355,6 +416,9 @@ def pallas_march_stream(
     save_tin: bool = False,  # additionally return each chunk's carry-in
     #   transmittance (chunk_cap, R) + the chunk_base index (for the
     #   hand-written backward kernel)
+    quad: bool = False,  # use the quadratic-form feature columns (MXU
+    #   response path; requires a feature table built with eye= and a
+    #   shared ray origin — see models/tiled.feature_table)
 ):
     """March every tile over its pair-stream segment.
 
@@ -419,6 +483,8 @@ def pallas_march_stream(
             pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
         )
 
+    if quad and per_ray_origin:
+        raise ValueError("quad response columns assume a shared ray origin")
     kernel = functools.partial(
         _march_kernel,
         config=config,
@@ -427,6 +493,7 @@ def pallas_march_stream(
         per_ray_origin=per_ray_origin,
         block_mode=block_mode,
         save_tin=save_tin,
+        quad=quad,
     )
     out_specs = pl.BlockSpec(
         (1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM

@@ -279,6 +279,7 @@ def render_pallas_sharded(
         rgb_l, t_l = pallas_march_stream(
             starts_l[0], eye_l, feats_l, dirs_l, config,
             n_tiles=T_local, rays_per_tile=R, chunk=chunk, interpret=interpret,
+            quad=True,
         )
         return rgb_l, t_l
 

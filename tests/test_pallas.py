@@ -28,20 +28,36 @@ CFG = RenderConfig(hit_multiplicity=1, order="key", max_per_tile=4096)
 class TestPallasParity:
     @pytest.mark.parametrize("hm", [1, 2])
     def test_matches_tiled_exactly(self, hm):
+        """quad=False shares the tiled path's float association exactly."""
         scene = random_scene(3000, seed=3)
         cfg = CFG.replace(hit_multiplicity=hm)
         a = render_tiled(scene, CAM, cfg, pair_capacity=CAP)
-        b = render_pallas(scene, CAM, cfg, pair_capacity=CAP, return_aux=True)
+        b = render_pallas(scene, CAM, cfg, pair_capacity=CAP, return_aux=True,
+                          quad=False)
         assert int(b["aux"]["n_dropped"]) == 0
         np.testing.assert_allclose(b["rgb"], a["rgb"], atol=2e-5)
         np.testing.assert_allclose(b["alpha"], a["alpha"], atol=2e-5)
+
+    @pytest.mark.parametrize("hm", [1, 2])
+    def test_quad_matches_tiled(self, hm):
+        """The MXU quadratic-form response path (production default) computes
+        the same math re-associated (dd = d^T(M^T M)d etc.): agreement is
+        near-exact, with isolated alpha_min gate flips from float noise."""
+        scene = random_scene(3000, seed=3)
+        cfg = CFG.replace(hit_multiplicity=hm)
+        a = render_tiled(scene, CAM, cfg, pair_capacity=CAP)
+        b = render_pallas(scene, CAM, cfg, pair_capacity=CAP)
+        assert float(psnr(a["rgb"], b["rgb"])) > 70.0
+        np.testing.assert_allclose(b["rgb"], a["rgb"], atol=1e-2)
 
     def test_matches_tiled_sh_degree_3(self):
         scene = random_scene(1500, seed=5)
         cfg = CFG.replace(sh_degree=3)
         a = render_tiled(scene, CAM, cfg, pair_capacity=CAP)
-        b = render_pallas(scene, CAM, cfg, pair_capacity=CAP)
+        b = render_pallas(scene, CAM, cfg, pair_capacity=CAP, quad=False)
         np.testing.assert_allclose(b["rgb"], a["rgb"], atol=2e-5)
+        c = render_pallas(scene, CAM, cfg, pair_capacity=CAP)  # quad
+        assert float(psnr(a["rgb"], c["rgb"])) > 70.0
 
     def test_fisheye(self):
         scene = random_scene(2000, seed=7)
@@ -49,10 +65,13 @@ class TestPallasParity:
                             width=64, height=64)
         cfg = CFG.replace(camera_model=CameraModel.FISHEYE)
         a = render_tiled(scene, cam, cfg, pair_capacity=CAP)
-        b = render_pallas(scene, cam, cfg, pair_capacity=CAP)
+        b = render_pallas(scene, cam, cfg, pair_capacity=CAP, quad=False)
         np.testing.assert_allclose(b["rgb"], a["rgb"], atol=2e-5)
         # blanked r>1 corners stay black
         assert float(jnp.abs(b["rgb"][0, 0]).max()) == 0.0
+        c = render_pallas(scene, cam, cfg, pair_capacity=CAP)  # quad path
+        assert float(psnr(a["rgb"], c["rgb"])) > 70.0
+        assert float(jnp.abs(c["rgb"][0, 0]).max()) == 0.0
 
     def test_vs_oracle_psnr(self):
         """Parity-grade quality: the default window-ordered kernel must clear
