@@ -107,10 +107,15 @@ class RenderConfig:
     # Number of odd-even compare-exchange passes for order="oddeven".
     window_passes: int = 16
     # Pair sort keys: "gaussian" (default) = one shared per-gaussian depth
-    # key (the iso-ellipsoid entry t along the eye->center ray — the most
-    # stable single key, measured better than per-tile central-ray keys
-    # whose grazing entries are noisy); "tile"/"tile_peak" = per-pair keys
-    # along each pair's tile central ray (kept for experimentation).
+    # key (the iso-ellipsoid entry t along the eye->center ray). Measured
+    # BEST: per-pair keys along each pair's own tile central ray — whether
+    # exact ("tile" entry-t, "tile_peak" peak-t, one extra wide gather) or
+    # the gather-free affine log-t model ("affine",
+    # ops/tiles.affine_tile_keys) — are all WORSE (96x64 adversarial scene,
+    # key order: gaussian 27.4 dB, tile 24.3, tile_peak 21.9, affine 21.7;
+    # window order: 43.7 / 32.1 / 29.8 / 29.2): a tile ray that grazes a
+    # far-from-center footprint yields a noisy, unrepresentative depth,
+    # while the gaussian's own central ray samples it where its mass is.
     pair_keys: str = "gaussian"
     # Exact projected-conic bounding boxes for pinhole footprints (the
     # support-function quadratic per axis) instead of the conservative

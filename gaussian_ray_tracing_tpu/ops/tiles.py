@@ -353,6 +353,146 @@ def _quantize_depth(depth: jnp.ndarray, depth_bits: int) -> jnp.ndarray:
     return jax.lax.shift_right_logical(bits, 31 - depth_bits)
 
 
+def affine_tile_keys(
+    means: jnp.ndarray,
+    M9: jnp.ndarray,  # (N, 9) rows of M = S^-1 R^T
+    fp: Footprint,
+    camera: Camera,
+    config: RenderConfig,
+    depth_bits: int,
+):
+    """Per-gaussian AFFINE model of the per-tile depth key, quantized for
+    gather-free pair binning (pair_keys="affine").
+
+    The reference's anyhit k-buffer orders hits by each ray's own event t
+    (shaders/tracer.cu:124-153). A single per-gaussian key (the
+    sorted-splatting approximation) misorders gaussians whose t varies
+    across the screen; per-pair keys along each tile's central ray recover
+    most of the exact order but need a per-pair gather. This middle path is
+    gather-free: the peak-response t along the ray through pixel p,
+    t*(p) = -<o_g, M d(p)> / |M d(p)|^2, is smooth in p, so within one
+    gaussian's footprint log t*(p) is well approximated by its first-order
+    expansion. The model (value at the footprint's corner tile + per-tile
+    slopes) is quantized to integers and carried onto the pair stream by
+    two extra head-fills; each pair reconstitutes its own tile's key with
+    two integer multiply-adds.
+
+    Key order is only ever compared WITHIN a tile, so any per-tile monotone
+    transform of t is admissible: log-space quantization gives uniform
+    RELATIVE resolution (~2^depth_bits steps over t in [1e-4, 1e6]).
+
+    Returns (a_q, bc_q): int32 (N,) model value at the corner tile and the
+    packed per-tile-step slopes ((b+_SLOPE_OFF) << 13 | (c+_SLOPE_OFF)).
+    Gaussians where the model is invalid (behind the eye, non-pinhole
+    camera) fall back to the constant fp.depth key with zero slopes.
+    """
+    lmin, lmax = _LOGT_RANGE
+    # quantize at <= _QBITS bits even when more depth bits are available:
+    # slopes are stored in 13 signed bits, so the value scale bounds the
+    # largest representable slope (+-4095/scale nats per tile step). At 16
+    # bits the resolution is ~3.5e-4 relative t and slopes cover +-1.4
+    # nats/tile -- both far outside the regime that affects ordering.
+    qbits = min(depth_bits, _QBITS)
+    scale = ((1 << qbits) - 2) / (lmax - lmin)
+
+    # constant fallback key from fp.depth
+    l_const = jnp.log(jnp.clip(fp.depth, 1e-30, 1e30))
+    a_const = jnp.clip(
+        (l_const - lmin) * scale, 0.0, float((1 << qbits) - 2)
+    ).astype(jnp.int32)
+
+    if config.camera_model != CameraModel.PINHOLE:
+        zeros = jnp.full(means.shape[0], _SLOPE_OFF << 13 | _SLOPE_OFF, jnp.int32)
+        return a_const, zeros
+
+    U, V, W = camera.uvw_frame()
+    Wpx, Hpx = camera.width, camera.height
+    eye = jnp.asarray(camera.eye, jnp.float32)
+
+    # ray through the footprint-center pixel (the point where the model is
+    # most accurate for the tiles this gaussian actually covers)
+    px = jnp.clip(fp.px, 0.0, Wpx)
+    py = jnp.clip(fp.py, 0.0, Hpx)
+    ndc_x = 2.0 * px / Wpx - 1.0
+    ndc_y = 2.0 * py / Hpx - 1.0
+    m = [M9[:, k] for k in range(9)]
+    rel = eye - means  # o - mu
+    ogx = m[0] * rel[:, 0] + m[1] * rel[:, 1] + m[2] * rel[:, 2]
+    ogy = m[3] * rel[:, 0] + m[4] * rel[:, 1] + m[5] * rel[:, 2]
+    ogz = m[6] * rel[:, 0] + m[7] * rel[:, 1] + m[8] * rel[:, 2]
+
+    def mdot(v):  # (3,) world vector -> per-gaussian canonical components
+        return (
+            m[0] * v[0] + m[1] * v[1] + m[2] * v[2],
+            m[3] * v[0] + m[4] * v[1] + m[5] * v[2],
+            m[6] * v[0] + m[7] * v[1] + m[8] * v[2],
+        )
+
+    d = ndc_x[:, None] * (-U)[None, :] + ndc_y[:, None] * (-V)[None, :] + W[None, :]
+    dgx, dgy, dgz = mdot((d[:, 0], d[:, 1], d[:, 2]))
+    dd = dgx * dgx + dgy * dgy + dgz * dgz
+    od = ogx * dgx + ogy * dgy + ogz * dgz
+    dd_s = jnp.maximum(dd, 1e-12)
+    t_star = -od / dd_s
+    # keys must share units ACROSS gaussians within a tile, but each model
+    # is anchored at its own pixel whose unnormalized |d| varies ~30% over
+    # the FOV: use world-space depth t* |d| (and differentiate that)
+    dw = jnp.sum(d * d, axis=-1)  # |d|^2 (world)
+    dw_s = jnp.maximum(dw, 1e-12)
+    t_world = t_star * jnp.sqrt(dw_s)
+
+    # d/dpx, d/dpy of the ray direction are constant vectors
+    du = (2.0 / Wpx) * (-U)
+    dv = (2.0 / Hpx) * (-V)
+
+    def dlog_dt(dvec):
+        gx_, gy_, gz_ = mdot(dvec)
+        od_p = ogx * gx_ + ogy * gy_ + ogz * gz_
+        dd_p = 2.0 * (dgx * gx_ + dgy * gy_ + dgz * gz_)
+        t_p = -(od_p * dd - od * dd_p) / (dd_s * dd_s)
+        # log t_world = log t* + (1/2) log(d.d)
+        return t_p / jnp.maximum(t_star, 1e-12) + (d @ dvec) / dw_s
+
+    gpx = dlog_dt(du) * config.tile_w  # per-tile-step slope in log t
+    gpy = dlog_dt(dv) * config.tile_h
+
+    valid = (t_star > 1e-6) & (dd > 1e-12) & jnp.isfinite(gpx) & jnp.isfinite(gpy)
+
+    l0 = jnp.log(jnp.clip(t_world, 1e-30, 1e30))
+    # shift the expansion point to the CENTER of the corner tile (x0, y0):
+    # callers add b*(tx - x0) + c*(ty - y0)
+    x0t = px / config.tile_w  # footprint center in tile units
+    y0t = py / config.tile_h
+    b = jnp.clip(jnp.round(gpx * scale), -_SLOPE_MAX, _SLOPE_MAX)
+    c = jnp.clip(jnp.round(gpy * scale), -_SLOPE_MAX, _SLOPE_MAX)
+    # corner-tile value at the same clipped (x0, y0) corner _tile_rects
+    # emits; the per-pair clip to [0, 2^db-2] happens after the slope terms
+    # are added, so a_q may exceed the depth range here
+    tw_, th_ = config.tile_w, config.tile_h
+    tx_n, ty_n = num_tiles(camera, config)
+    fx0 = jnp.floor(jnp.clip((fp.px - fp.rx) / tw_, -2.0, tx_n + 1.0))
+    fy0 = jnp.floor(jnp.clip((fp.py - fp.ry) / th_, -2.0, ty_n + 1.0))
+    x0 = jnp.clip(fx0, 0.0, tx_n - 1.0)
+    y0 = jnp.clip(fy0, 0.0, ty_n - 1.0)
+    a = (l0 - lmin) * scale + b * (x0 + 0.5 - x0t) + c * (y0 + 0.5 - y0t)
+    a_q = jnp.clip(jnp.round(a), -(1 << 29), 1 << 29).astype(jnp.int32)
+
+    a_q = jnp.where(valid, a_q, a_const)
+    bc_q = jnp.where(
+        valid,
+        jax.lax.shift_left(b.astype(jnp.int32) + _SLOPE_OFF, 13)
+        | (c.astype(jnp.int32) + _SLOPE_OFF),
+        _SLOPE_OFF << 13 | _SLOPE_OFF,
+    )
+    return a_q, bc_q
+
+
+_LOGT_RANGE = (math.log(1e-4), math.log(1e6))
+_QBITS = 16  # value-quantization bits of the affine key model
+_SLOPE_MAX = 4095
+_SLOPE_OFF = 4096
+
+
 def _tile_rects(fp: Footprint, camera: Camera, config: RenderConfig):
     """Clipped tile-rect bounds + per-gaussian pair counts (shared by both
     expansion paths)."""
@@ -488,6 +628,93 @@ def _bin_pairs_presorted(
     )
 
 
+def _bin_pairs_affine(
+    fp: Footprint,
+    camera: Camera,
+    config: RenderConfig,
+    cap: int,
+    akey: tuple,
+) -> PairStream:
+    """Gather-free pair expansion with per-pair AFFINE depth keys.
+
+    Like _bin_pairs_presorted, but each pair's depth key is its own tile's
+    value of the gaussian's affine log-t model (affine_tile_keys) instead of
+    one shared per-gaussian key: two extra head-fills carry the quantized
+    model (corner value + packed slopes) onto the stream, and each pair
+    reconstitutes its key with two integer multiply-adds. No N-presort and
+    no rank-space gid (consumers index original tables directly); ONE
+    non-stable sort over tile<<db | depth_q packed keys.
+
+    Within-tile ordering approaches the reference's exact per-ray k-buffer
+    order (shaders/tracer.cu:124-153) as footprints shrink; the march's
+    window sort mops up the residual (and fires its already-sorted skip far
+    more often than under per-gaussian keys).
+    """
+    tx_n, ty_n = num_tiles(camera, config)
+    n_tiles = tx_n * ty_n
+    tile_bits, depth_bits = _depth_bits(n_tiles)
+    n = fp.px.shape[0]
+    a_q, bc_q = akey
+
+    x0, y0, sw, count = _tile_rects(fp, camera, config)
+
+    offsets = jnp.cumsum(count) - count  # exclusive
+    total = offsets[-1] + count[-1] if n else jnp.int32(0)
+    first = jnp.minimum(offsets, cap)
+
+    gids = jnp.arange(n, dtype=jnp.int32)
+    buf = jnp.zeros((cap + 1,), jnp.int32).at[first].max(gids + 1)
+    gsrc = jax.lax.cummax(buf[:cap]) - 1  # (P,)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    valid = (slot < jnp.minimum(total, cap)) & (gsrc >= 0)
+
+    # --- per-pair context via head fills (no gathers) ------------------
+    off_pair = _head_fill(first, offsets, cap)
+    bx = max(1, (tx_n - 1).bit_length())
+    by = max(1, (ty_n - 1).bit_length())
+    bsw = max(1, tx_n.bit_length())
+    if bx + by + bsw > 31:
+        raise ValueError(f"tile grid too large to pack: {tx_n}x{ty_n}")
+    sw1 = jnp.maximum(sw, 1)
+    packed = _head_fill(
+        first,
+        jax.lax.shift_left(x0, by + bsw) | jax.lax.shift_left(y0, bsw) | sw1,
+        cap,
+    )
+    sw_p = packed & ((1 << bsw) - 1)
+    y0_p = jax.lax.shift_right_logical(packed, bsw) & ((1 << by) - 1)
+    x0_p = jax.lax.shift_right_logical(packed, by + bsw)
+    a_p = _head_fill(first, a_q, cap)
+    bc_p = _head_fill(first, bc_q, cap)
+    b_p = jax.lax.shift_right_logical(bc_p, 13) - _SLOPE_OFF
+    c_p = (bc_p & 8191) - _SLOPE_OFF
+
+    r = slot - off_pair
+    q = jnp.floor(r.astype(jnp.float32) / sw_p.astype(jnp.float32)).astype(
+        jnp.int32
+    )
+    dtx = r - q * sw_p
+    tile = (y0_p + q) * tx_n + x0_p + dtx
+
+    qbits = min(depth_bits, _QBITS)
+    dq = jnp.clip(a_p + b_p * dtx + c_p * q, 0, (1 << qbits) - 2)
+    key = jax.lax.shift_left(tile, depth_bits) | jax.lax.shift_left(
+        dq, depth_bits - qbits
+    )
+    key = jnp.where(valid, key, _INT32_MAX)
+    payload = jnp.where(valid, gsrc, -1)
+    key_s, gid_s = jax.lax.sort_key_val(key, payload)
+
+    boundaries = jax.lax.shift_left(
+        jnp.arange(n_tiles + 1, dtype=jnp.int32), depth_bits
+    )
+    starts = jnp.searchsorted(key_s, boundaries).astype(jnp.int32)
+    n_dropped = jnp.maximum(total - cap, 0)
+    return PairStream(
+        gid=gid_s, key=key_s, starts=starts, n_pairs=total, n_dropped=n_dropped
+    )
+
+
 def bin_pairs(
     fp: Footprint,
     camera: Camera,
@@ -508,6 +735,12 @@ def bin_pairs(
     scenes). Costs one wider packed gather in the expansion; the int32
     columns ride in the float gather via bitcast.
     """
+    if geom is not None and config.pair_keys == "affine":
+        tx_n, ty_n = num_tiles(camera, config)
+        _, depth_bits = _depth_bits(tx_n * ty_n)
+        means, M9, _radius = geom
+        akey = affine_tile_keys(means, M9, fp, camera, config, depth_bits)
+        return _bin_pairs_affine(fp, camera, config, pair_capacity, akey)
     use_tile_keys = geom is not None and config.pair_keys in ("tile", "tile_peak")
     if not use_tile_keys:
         # default path: depth-pre-sorted gather-free expansion
