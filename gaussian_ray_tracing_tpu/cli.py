@@ -36,6 +36,18 @@ def _add_camera_args(p: argparse.ArgumentParser):
                         "(switches to the OPENCV camera model)")
 
 
+def _add_dist_args(p: argparse.ArgumentParser):
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize before any "
+                        "compute (with no further flags, JAX auto-detects "
+                        "the cluster from Cloud TPU metadata / SLURM)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   metavar="HOST:PORT",
+                   help="coordinator address for explicit process wiring")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+
+
 def _add_render_args(p: argparse.ArgumentParser):
     p.add_argument("--method", choices=["auto", "oracle", "tiled", "pallas"],
                    default="auto")
@@ -460,17 +472,17 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("render", help="render a frame to PNG")
-    _add_scene_args(p); _add_camera_args(p); _add_render_args(p)
+    _add_scene_args(p); _add_camera_args(p); _add_render_args(p); _add_dist_args(p)
     p.add_argument("-o", "--output", type=str, default="render.png")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("bench", help="measure forward Mrays/s")
-    _add_scene_args(p); _add_camera_args(p); _add_render_args(p)
+    _add_scene_args(p); _add_camera_args(p); _add_render_args(p); _add_dist_args(p)
     p.add_argument("--iters", type=int, default=10)
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("orbit", help="turntable render to PNG frames")
-    _add_scene_args(p); _add_camera_args(p); _add_render_args(p)
+    _add_scene_args(p); _add_camera_args(p); _add_render_args(p); _add_dist_args(p)
     p.add_argument("--frames", type=int, default=12)
     p.add_argument("--radius", type=float, default=3.0)
     p.add_argument("--elevation", type=float, default=15.0)
@@ -543,6 +555,16 @@ def main(argv=None):
     p.set_defaults(fn=cmd_warmup)
 
     args = parser.parse_args(argv)
+    if getattr(args, "distributed", False):
+        # must run before ANY jax backend touch (the lazy in-function jax
+        # imports below keep this ordering safe)
+        from gaussian_ray_tracing_tpu.parallel.distributed import (
+            initialize_distributed,
+        )
+
+        initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
     try:
         return args.fn(args)
     except Exception as e:  # pragma: no cover - tunnel-specific
