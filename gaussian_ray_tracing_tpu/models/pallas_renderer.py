@@ -182,12 +182,15 @@ def render_pallas_diff(
     exist, their order) is non-differentiable, exactly like the tiled XLA
     path and 3DGS rasterizers.
 
-    Key ordering only (the training configuration); window-order training
-    falls back to the XLA tiled path.
+    Supports order="key" AND order="window": the backward kernel re-runs
+    the forward's per-ray bitonic sort (carrying the source index) and
+    inverts the permutation with a second sort, so parity-grade window
+    ordering trains with hand-written gradients too. Other orders fall
+    back to "key".
     """
     from gaussian_ray_tracing_tpu.ops.pallas_march import march_stream_diff
 
-    if config.order != "key":
+    if config.order not in ("key", "window"):
         config = config.replace(order="key")
     if interpret is None:
         interpret = _interpret_default()

@@ -25,8 +25,11 @@ shaders/tracer.cuh:328-373). One grid program per image tile:
 
 Differentiable: march_stream_diff pairs this forward with a HAND-WRITTEN
 backward kernel (_march_bwd_kernel) that re-marches each tile in reverse
-and emits per-pair feature gradients (key order). The XLA tiled path
-(models/tiled.py) remains the autodiff/window-order training fallback.
+and emits per-pair feature gradients — in BOTH key order and the
+parity-grade window order (the backward re-runs the forward's unique-key
+bitonic sort and inverts it with a second sort keyed on the source index
+embedded in the key's low 8 bits). The XLA tiled path (models/tiled.py)
+remains the autodiff fallback.
 """
 
 from __future__ import annotations
@@ -61,24 +64,30 @@ def _roll(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     return pltpu.roll(x, shift % c, axis=0)
 
 
-def _bitonic_sort(key, payload, c: int):
+def _bitonic_sort(key, payloads, c: int):
     """Ascending per-lane bitonic sort of (c, R) arrays along the candidate
-    axis with one payload. XOR-partner exchanges are expressed as two
-    sublane rolls + selects (no per-lane addressing exists on TPU)."""
+    axis, carrying a tuple of payload arrays (any dtype — payloads are only
+    rolled + selected, never compared). XOR-partner exchanges are expressed
+    as two sublane rolls + selects (no per-lane addressing exists on TPU)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
     n_lv = c.bit_length() - 1
+    payloads = tuple(payloads)
     for k in range(1, n_lv + 1):
         desc = (idx & (1 << k)) != 0  # (c, 1) merge direction
         for j in reversed(range(k)):
             d = 1 << j
             hi = (idx & d) != 0
             pk = jnp.where(hi, _roll(key, d), _roll(key, -d))
-            p1 = jnp.where(hi, _roll(payload, d), _roll(payload, -d))
+            rolled = tuple(
+                jnp.where(hi, _roll(p, d), _roll(p, -d)) for p in payloads
+            )
             keep_min = hi == desc
             take = (pk < key) == keep_min
             key = jnp.where(take, pk, key)
-            payload = jnp.where(take, p1, payload)
-    return key, payload
+            payloads = tuple(
+                jnp.where(take, rp, p) for rp, p in zip(rolled, payloads)
+            )
+    return key, payloads
 
 
 def _march_kernel(
@@ -298,14 +307,17 @@ def _march_kernel(
             if config.order == "window":
                 # per-ray bitonic sort of this chunk by exact event t
                 # (bounded-window exact ordering, tracer.cu:124-153 k-buffer
-                # semantics at window width c). Zero-alpha entries key to
-                # the int32 max: their position in the prefix product is
-                # irrelevant (log(1-0)=0), only significant hits need
-                # relative order. The sort moves TWO int32 arrays total:
-                # key = (t quantized to 16 bits within the chunk's range |
-                # alpha in 16 bits) and a 3x10-bit packed color (1/256 steps
-                # over [0,4); output is RGB8-quantized anyway,
-                # shaders/tracer.cuh:484).
+                # semantics at window width c). The key is UNIQUE per lane:
+                # (t quantized to 16 bits within the chunk's range) << 8 |
+                # source candidate index — uniqueness makes the network a
+                # true permutation (on key ties the XOR-exchange duplicates
+                # one payload and drops its partner, which both corrupts
+                # colors and breaks the backward's permutation inverse;
+                # zero-alpha entries all tied before). Zero-alpha entries
+                # take t-bucket 65535 so they sort after every real hit.
+                # Alpha rides as an EXACT float payload (it used to be
+                # 15 key bits); colors as a 3x10-bit pack (1/256 steps over
+                # [0,4); output is RGB8-quantized anyway, tracer.cuh:484).
                 gated_t = jnp.where(a > 0.0, t_event, jnp.inf)
                 t_min_c = jnp.min(gated_t)
                 t_max_c = jnp.max(jnp.where(a > 0.0, t_event, -jnp.inf))
@@ -313,12 +325,11 @@ def _march_kernel(
                 tq = jnp.clip(
                     (t_event - t_min_c) * (65534.0 / t_rng), 0.0, 65534.0
                 ).astype(jnp.int32)
-                aq = jnp.clip(a * 32767.0, 0.0, 32767.0).astype(jnp.int32)
+                src = jax.lax.broadcasted_iota(jnp.int32, (c, R), 0)
+                zbase = jnp.int32(65535 << 8)
                 skey = jnp.where(
-                    a > 0.0,
-                    jax.lax.shift_left(tq, 15) | aq,
-                    jnp.int32(2147483647),
-                )
+                    a > 0.0, jax.lax.shift_left(tq, 8), zbase
+                ) | src
                 q = lambda x: jnp.clip(x * 255.75, 0.0, 1023.0).astype(jnp.int32)
                 cpack = (
                     jax.lax.shift_left(q(colors[0]), 20)
@@ -326,21 +337,19 @@ def _march_kernel(
                     | q(colors[2])
                 )
                 cpack = jnp.broadcast_to(cpack, (c, R))
+                apay = jnp.broadcast_to(a, (c, R))
                 # skip the sort network when this chunk is already per-ray
                 # ordered among significant hits (common: the stream is
                 # globally key-ordered, so sparse/well-separated chunks
                 # arrive sorted) — one roll + compare vs 28 butterfly stages
                 nxt = _roll(skey, -1)
                 pos_ok = cand_idx < (c - 1)
-                has_inv = jnp.any((skey > nxt) & pos_ok & (nxt != 2147483647))
-                skey, cpack = jax.lax.cond(
+                has_inv = jnp.any((skey > nxt) & pos_ok & (nxt < zbase))
+                skey, (cpack, a) = jax.lax.cond(
                     has_inv,
                     lambda k, p: _bitonic_sort(k, p, c),
                     lambda k, p: (k, p),
-                    skey, cpack,
-                )
-                a = jnp.where(
-                    skey == 2147483647, 0.0, (skey & 32767).astype(f32) / 32767.0
+                    skey, (cpack, apay),
                 )
                 unq = lambda x: x.astype(f32) * (1.0 / 255.75)
                 mask10 = jnp.int32(1023)
@@ -485,6 +494,10 @@ def pallas_march_stream(
 
     if quad and per_ray_origin:
         raise ValueError("quad response columns assume a shared ray origin")
+    if config.order == "window" and chunk > 256:
+        raise ValueError(
+            "window order packs the source index in 8 key bits: chunk <= 256"
+        )
     kernel = functools.partial(
         _march_kernel,
         config=config,
@@ -556,7 +569,8 @@ def _march_bwd_kernel(
     c: int,
     R: int,
 ):
-    """Hand-written backward of the fused march (key order, shared origin).
+    """Hand-written backward of the fused march (key or window order,
+    shared origin).
 
     Runs each tile's chunks in REVERSE, recomputing the forward response /
     prefix-product quantities from the streamed features (flash-attention
@@ -670,13 +684,6 @@ def _march_bwd_kernel(
             a_eff = alpha if hm == 1 else 1.0 - (1.0 - alpha) ** hm
             a = jnp.where(gate, a_eff, 0.0)
 
-            lp = jnp.log1p(-a)
-            S = jnp.dot(tri_lo, lp, preferred_element_type=f32)
-            E = jnp.exp(S)
-            P = t_in * E
-            gate_w = (P > minT).astype(f32)
-            w = a * P * gate_w
-
             colors = []
             for ch in range(3):
                 if sh_deg == 0:
@@ -687,11 +694,112 @@ def _march_bwd_kernel(
                         raw = raw + basis[k] * col(_SH0 + ch * K + k)
                 colors.append(raw)
 
-            # ---- backward ----
-            d_w = jnp.zeros((c, R), f32)
-            for ch in range(3):
-                d_w = d_w + dR[ch] * jnp.maximum(colors[ch], 0.0)
-            # color/SH grads
+            if config.order == "window":
+                # ---- window order: replicate the forward's per-ray bitonic
+                # sort BIT-EXACTLY (same unique keys, same skip test; the
+                # source index lives in the key's low 8 bits). Gradients are
+                # computed in the SORTED domain (where the forward's prefix
+                # product ran), then permuted back by a second bitonic sort
+                # keyed on the extracted source index — unique keys make
+                # both networks true permutations, so the inverse is exact.
+                # Only two payloads ride the inverse sort: d_a_s and w_s —
+                # per-candidate color grads reconstruct from the per-RAY
+                # cotangent as dR[ch] * w. Alpha is an exact float payload;
+                # the 10-bit color pack is differentiated straight-through.
+                gated_t = jnp.where(a > 0.0, t_event, jnp.inf)
+                t_min_c = jnp.min(gated_t)
+                t_max_c = jnp.max(jnp.where(a > 0.0, t_event, -jnp.inf))
+                t_rng = jnp.maximum(t_max_c - t_min_c, 1e-20)
+                tq = jnp.clip(
+                    (t_event - t_min_c) * (65534.0 / t_rng), 0.0, 65534.0
+                ).astype(jnp.int32)
+                src = jax.lax.broadcasted_iota(jnp.int32, (c, R), 0)
+                zbase = jnp.int32(65535 << 8)
+                skey = jnp.where(
+                    a > 0.0, jax.lax.shift_left(tq, 8), zbase
+                ) | src
+                qz = lambda x: jnp.clip(x * 255.75, 0.0, 1023.0).astype(jnp.int32)
+                cpack = (
+                    jax.lax.shift_left(qz(jnp.maximum(colors[0], 0.0)), 20)
+                    | jax.lax.shift_left(qz(jnp.maximum(colors[1], 0.0)), 10)
+                    | qz(jnp.maximum(colors[2], 0.0))
+                )
+                cpack = jnp.broadcast_to(cpack, (c, R))
+                apay = jnp.broadcast_to(a, (c, R))
+                nxt = _roll(skey, -1)
+                pos_ok = cand_idx < (c - 1)
+                has_inv = jnp.any((skey > nxt) & pos_ok & (nxt < zbase))
+                skey_s, (cpack_s, a_s) = jax.lax.cond(
+                    has_inv,
+                    lambda k, p: _bitonic_sort(k, p, c),
+                    lambda k, p: (k, p),
+                    skey, (cpack, apay),
+                )
+                src_s = skey_s & 255  # unique per lane: clean inverse key
+                unq = lambda x: x.astype(f32) * (1.0 / 255.75)
+                mask10 = jnp.int32(1023)
+                colors_s = [
+                    unq(jax.lax.shift_right_logical(cpack_s, 20) & mask10),
+                    unq(jax.lax.shift_right_logical(cpack_s, 10) & mask10),
+                    unq(cpack_s & mask10),
+                ]
+
+                lp = jnp.log1p(-a_s)
+                S = jnp.dot(tri_lo, lp, preferred_element_type=f32)
+                E = jnp.exp(S)
+                P = t_in * E
+                gate_w = (P > minT).astype(f32)
+                w_s = a_s * P * gate_w
+
+                d_w = (
+                    dR[0] * colors_s[0]
+                    + dR[1] * colors_s[1]
+                    + dR[2] * colors_s[2]
+                )
+                d_a_s = d_w * P * gate_w
+                d_P = d_w * a_s * gate_w
+                sumlp = jnp.sum(lp, axis=0, keepdims=True)  # (1, R)
+                prod = jnp.exp(sumlp)
+                acc[0:1, :] = dT * prod + jnp.sum(
+                    d_P * E, axis=0, keepdims=True
+                )
+                d_lp = dT * t_in * prod + jnp.dot(
+                    tri_up, d_P * P, preferred_element_type=f32
+                )
+                d_a_s = d_a_s - d_lp / (1.0 - a_s)
+
+                # inverse permutation: ascending sort on the source index
+                _, (d_a, w) = jax.lax.cond(
+                    has_inv,
+                    lambda k, p: _bitonic_sort(k, p, c),
+                    lambda k, p: (k, p),
+                    src_s, (d_a_s, w_s),
+                )
+            else:
+                lp = jnp.log1p(-a)
+                S = jnp.dot(tri_lo, lp, preferred_element_type=f32)
+                E = jnp.exp(S)
+                P = t_in * E
+                gate_w = (P > minT).astype(f32)
+                w = a * P * gate_w
+
+                d_w = jnp.zeros((c, R), f32)
+                for ch in range(3):
+                    d_w = d_w + dR[ch] * jnp.maximum(colors[ch], 0.0)
+                d_a = d_w * P * gate_w
+                d_P = d_w * a * gate_w
+                sumlp = jnp.sum(lp, axis=0, keepdims=True)  # (1, R)
+                prod = jnp.exp(sumlp)
+                # carry to the PREVIOUS chunk's carry-out
+                acc[0:1, :] = dT * prod + jnp.sum(
+                    d_P * E, axis=0, keepdims=True
+                )
+                d_lp = dT * t_in * prod + jnp.dot(
+                    tri_up, d_P * P, preferred_element_type=f32
+                )
+                d_a = d_a - d_lp / (1.0 - a)
+
+            # color/SH grads (w is in ORIGINAL candidate order in both paths)
             for ch in range(3):
                 mask = (colors[ch] > 0.0).astype(f32)
                 d_col = dR[ch] * w  # (c, R)
@@ -705,17 +813,6 @@ def _march_bwd_kernel(
                         gbuf[:, _SH0 + ch * K + k : _SH0 + ch * K + k + 1] = (
                             jnp.sum(dcm * basis[k], axis=1, keepdims=True)
                         )
-
-            d_a = d_w * P * gate_w
-            d_P = d_w * a * gate_w
-            sumlp = jnp.sum(lp, axis=0, keepdims=True)  # (1, R)
-            prod = jnp.exp(sumlp)
-            # carry to the PREVIOUS chunk's carry-out
-            acc[0:1, :] = dT * prod + jnp.sum(d_P * E, axis=0, keepdims=True)
-            d_lp = dT * t_in * prod + jnp.dot(
-                tri_up, d_P * P, preferred_element_type=f32
-            )
-            d_a = d_a - d_lp / (1.0 - a)
 
             if hm == 1:
                 d_alpha = d_a
@@ -791,7 +888,7 @@ def pallas_march_bwd(
     chunk: int,
     interpret: bool = False,
 ):
-    """d(pair_feats) for the key-order shared-origin march."""
+    """d(pair_feats) for the shared-origin march (key or window order)."""
     R = rays_per_tile
     F = pair_feats.shape[1]
     dirs_pack = jnp.zeros((n_tiles, 8, R), jnp.float32)
@@ -844,9 +941,9 @@ def march_stream_diff(
     config: RenderConfig, n_tiles: int, rays_per_tile: int, chunk: int,
     interpret: bool,
 ):
-    """Differentiable fused march (key order, shared origin): the forward is
-    the Pallas march kernel, the backward is the hand-written reverse-sweep
-    kernel producing d(pair_feats) (BASELINE north star: fused kernels with
+    """Differentiable fused march (key or window order, shared origin): the
+    forward is the Pallas march kernel, the backward is the hand-written
+    reverse-sweep kernel producing d(pair_feats) (BASELINE north star: fused kernels with
     a hand-written backward for means/covariance/opacity/SH — the feature
     rows carry exactly those)."""
     rgb, t_final = pallas_march_stream(

@@ -578,7 +578,7 @@ def render_pallas_sharded_diff(
         chunk = max(32, min(config.march_chunk, 256))
     if pair_capacity is None:
         pair_capacity = default_pair_capacity(scene.num_gaussians)
-    if config.order != "key":
+    if config.order not in ("key", "window"):
         config = config.replace(order="key")
     n_dev = mesh.shape[RAY_AXIS]
     R = config.rays_per_tile

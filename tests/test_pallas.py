@@ -188,6 +188,134 @@ class TestHandWrittenBackward:
             assert np.isfinite(a).all() and np.isfinite(b).all(), f
             assert np.abs(a - b).max() / scale < 1e-3, f
 
+    def test_window_grads_match_jnp_replica(self):
+        """WINDOW-order hand-written backward vs AUTODIFF OF ITS OWN FORWARD
+        SEMANTICS: a pure-jnp replica of the window march (same unique-key
+        bitonic network via jnp ops, straight-through 10-bit color
+        quantization) is differentiable by jax.grad, so its gradient is the
+        ground truth for the kernel's routing through the per-ray sort.
+        Any permutation/attribution bug shows up orders of magnitude above
+        the float-noise bar here (this caught the key-tie payload
+        duplication that motivated the unique src-in-key design)."""
+        import jax
+
+        from gaussian_ray_tracing_tpu.cameras import generate_rays
+        from gaussian_ray_tracing_tpu.models.pallas_renderer import (
+            prepare_pair_stream,
+        )
+        from gaussian_ray_tracing_tpu.models.tiled import tile_rays
+        from gaussian_ray_tracing_tpu.ops.pallas_march import march_stream_diff
+        from gaussian_ray_tracing_tpu.ops.sh import num_coeffs
+        from gaussian_ray_tracing_tpu.ops.tiles import num_tiles
+        from scripts.window_bwd_replica import replica_march
+
+        c = 32
+        cfg = CFG.replace(order="window", march_chunk=c,
+                          min_transmittance=1e-8)
+        scene = random_scene(300, seed=6)
+        cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                            width=32, height=16)
+        stream, pair_feats, _, _ = prepare_pair_stream(scene, cam, cfg,
+                                                       50_000, c)
+        _, dirs, _ = generate_rays(cam, cfg)
+        dirs_t = tile_rays(dirs, cfg.tile_w, cfg.tile_h)
+        tx_n, ty_n = num_tiles(cam, cfg)
+        T, R = tx_n * ty_n, cfg.rays_per_tile
+        eye = cam.eye.astype(jnp.float32)
+        W = jax.random.normal(jax.random.PRNGKey(0), (T, R, 3))
+
+        def loss_kernel(feats):
+            rgb, _ = march_stream_diff(
+                stream.starts, eye, feats, dirs_t, cfg, T, R, c, True
+            )
+            return jnp.sum(rgb * W)
+
+        def loss_replica(feats):
+            rgb, _ = replica_march(
+                stream.starts, eye, feats, dirs_t, cfg, T, R, c
+            )
+            return jnp.sum(rgb * W)
+
+        lk, lr = float(loss_kernel(pair_feats)), float(loss_replica(pair_feats))
+        assert abs(lk - lr) / (abs(lr) + 1e-12) < 1e-4
+
+        gk = np.asarray(jax.grad(loss_kernel)(pair_feats))
+        gr = np.asarray(jax.grad(loss_replica)(pair_feats))
+        Fw = 14 + 3 * num_coeffs(cfg.sh_degree)  # columns the kernel writes
+        gk, gr = gk[:, :Fw], gr[:, :Fw]
+        scale = np.abs(gr).max() + 1e-12
+        assert np.isfinite(gk).all()
+        assert np.abs(gk - gr).max() / scale < 1e-3
+
+    def test_window_grads_match_tiled_window_autodiff(self):
+        """WINDOW-order hand-written backward vs XLA autodiff of the tiled
+        window path. The semantics differ slightly by construction — the
+        kernel orders by 16-bit-quantized t (ties broken by stream index)
+        and packs colors at 10 bits, the tiled path argsorts exact t — so
+        individual entries can disagree where two gaussians share a
+        t-bucket (attribution swaps between near-coincident hits). The
+        aggregate direction must still agree tightly; the per-entry ground
+        truth is test_window_grads_match_jnp_replica above."""
+        import jax
+
+        from gaussian_ray_tracing_tpu.models.gaussian_model import GaussianModel
+        from gaussian_ray_tracing_tpu.models.pallas_renderer import render_pallas_diff
+
+        cfg = CFG.replace(order="window", march_chunk=32)
+        # dense overlapping scene => plenty of per-ray inversions to sort
+        model = GaussianModel.from_scene(random_scene(500, seed=6))
+        cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                            width=64, height=32)
+        target = jnp.full((32, 64, 3), 0.3, jnp.float32)
+
+        def loss_pallas(m):
+            out = render_pallas_diff(m.activate(), cam, cfg, chunk=32,
+                                     pair_capacity=100_000)
+            return jnp.mean((out["rgb"] - target) ** 2)
+
+        def loss_tiled(m):
+            out = render_tiled(m.activate(), cam, cfg, pair_capacity=100_000)
+            return jnp.mean((out["rgb"] - target) ** 2)
+
+        # forwards agree to color-quantization tolerance first
+        lp, lt = float(loss_pallas(model)), float(loss_tiled(model))
+        assert abs(lp - lt) / (abs(lt) + 1e-12) < 2e-2
+
+        gp = jax.grad(loss_pallas)(model)
+        gt = jax.grad(loss_tiled)(model)
+        for f in ("means", "log_scales", "raw_quats", "raw_opacities", "sh"):
+            a = np.asarray(getattr(gp, f)).ravel()
+            b = np.asarray(getattr(gt, f)).ravel()
+            scale = np.abs(b).max() + 1e-12
+            assert np.isfinite(a).all() and np.isfinite(b).all(), f
+            assert np.abs(a - b).max() / scale < 0.2, f
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+            assert cos > 0.995, (f, cos)
+
+    def test_window_train_step_decreases_loss(self):
+        import jax
+
+        from gaussian_ray_tracing_tpu.models.gaussian_model import GaussianModel
+        from gaussian_ray_tracing_tpu.models.tiled import render_tiled
+        from gaussian_ray_tracing_tpu.train.trainer import (
+            TrainState, default_optimizer, make_train_step,
+        )
+
+        cfg = CFG.replace(order="window", march_chunk=32)
+        target_scene = random_scene(300, seed=8)
+        cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                            width=48, height=32)
+        target = render_tiled(target_scene, cam, cfg)["rgb"]
+        model = GaussianModel.from_scene(random_scene(200, seed=9))
+        tx = default_optimizer(5e-3)
+        step = make_train_step(cfg, tx, use_pallas=True)
+        state = TrainState.create(model, tx)
+        losses = []
+        for _ in range(4):
+            state, m = step(state, cam, target)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+
     def test_train_step_decreases_loss(self):
         import jax
 
