@@ -493,11 +493,24 @@ _SLOPE_MAX = 4095
 _SLOPE_OFF = 4096
 
 
-def _tile_rects(fp: Footprint, camera: Camera, config: RenderConfig):
+def _tile_rects(fp: Footprint, camera: Camera, config: RenderConfig,
+                tile_rows=None):
     """Clipped tile-rect bounds + per-gaussian pair counts (shared by both
-    expansion paths)."""
+    expansion paths).
+
+    tile_rows: optional (row_lo, n_rows) restricting the expansion to the
+    tile-row band [row_lo, row_lo + n_rows) — the per-SHARD binning used by
+    the ray-DP renderers (each device bins only its own band, so binning
+    cost scales 1/n_dev). row_lo may be traced (jax.lax.axis_index); the
+    returned y0 is BAND-LOCAL. With tile_rows=None, behavior is the full
+    grid as before."""
     tw, th = config.tile_w, config.tile_h
     tx_n, ty_n = num_tiles(camera, config)
+    if tile_rows is None:
+        row_lo, row_hi = 0, ty_n
+    else:
+        row_lo = tile_rows[0]
+        row_hi = row_lo + tile_rows[1]
     # float-clip tile bounds before the int cast (projected centers of
     # near/behind-camera gaussians can be astronomically large)
     fclip = lambda v, n_t: jnp.clip(v, -2.0, n_t + 1.0)
@@ -505,11 +518,14 @@ def _tile_rects(fp: Footprint, camera: Camera, config: RenderConfig):
     fx1 = jnp.floor(fclip((fp.px + fp.rx) / tw, tx_n)).astype(jnp.int32)
     fy0 = jnp.floor(fclip((fp.py - fp.ry) / th, ty_n)).astype(jnp.int32)
     fy1 = jnp.floor(fclip((fp.py + fp.ry) / th, ty_n)).astype(jnp.int32)
-    on = (fx1 >= 0) & (fy1 >= 0) & (fx0 < tx_n) & (fy0 < ty_n) & fp.visible
+    on = (
+        (fx1 >= 0) & (fy1 >= row_lo) & (fx0 < tx_n) & (fy0 < row_hi)
+        & fp.visible
+    )
     x0 = jnp.clip(fx0, 0, tx_n - 1)
     x1 = jnp.clip(fx1, 0, tx_n - 1)
-    y0 = jnp.clip(fy0, 0, ty_n - 1)
-    y1 = jnp.clip(fy1, 0, ty_n - 1)
+    y0 = jnp.clip(fy0, row_lo, row_hi - 1) - row_lo  # band-local row
+    y1 = jnp.clip(fy1, row_lo, row_hi - 1) - row_lo
     sw = x1 - x0 + 1
     sh = y1 - y0 + 1
     count = jnp.where(on, sw * sh, 0)  # (N,)
@@ -546,7 +562,8 @@ def _head_fill(first: jnp.ndarray, values: jnp.ndarray, cap: int) -> jnp.ndarray
 
 
 def _bin_pairs_presorted(
-    fp: Footprint, camera: Camera, config: RenderConfig, cap: int
+    fp: Footprint, camera: Camera, config: RenderConfig, cap: int,
+    tile_rows=None,
 ) -> PairStream:
     """Gather-free pair expansion over DEPTH-SORTED gaussians.
 
@@ -560,12 +577,15 @@ def _bin_pairs_presorted(
 
     gid is returned in RANK space with the permutation in `order`:
     consumers index reordered tables (table[order]).
+
+    tile_rows: optional (row_lo, n_rows) per-shard band restriction (see
+    _tile_rects); tile ids and `starts` are then band-local.
     """
     tx_n, ty_n = num_tiles(camera, config)
-    n_tiles = tx_n * ty_n
+    n_tiles = tx_n * (ty_n if tile_rows is None else tile_rows[1])
     n = fp.px.shape[0]
 
-    x0, y0, sw, count = _tile_rects(fp, camera, config)
+    x0, y0, sw, count = _tile_rects(fp, camera, config, tile_rows=tile_rows)
 
     # --- depth pre-sort (N) -------------------------------------------
     d = jnp.clip(fp.depth, 1e-30, 1e30)
@@ -721,6 +741,7 @@ def bin_pairs(
     config: RenderConfig,
     pair_capacity: int,
     geom: tuple | None = None,
+    tile_rows=None,
 ) -> PairStream:
     """Expand footprints into the depth-sorted per-tile pair stream.
 
@@ -735,6 +756,8 @@ def bin_pairs(
     scenes). Costs one wider packed gather in the expansion; the int32
     columns ride in the float gather via bitcast.
     """
+    if tile_rows is not None and (geom is not None and config.pair_keys != "gaussian"):
+        raise ValueError("per-shard binning supports the default pair_keys only")
     if geom is not None and config.pair_keys == "affine":
         tx_n, ty_n = num_tiles(camera, config)
         _, depth_bits = _depth_bits(tx_n * ty_n)
@@ -744,7 +767,9 @@ def bin_pairs(
     use_tile_keys = geom is not None and config.pair_keys in ("tile", "tile_peak")
     if not use_tile_keys:
         # default path: depth-pre-sorted gather-free expansion
-        return _bin_pairs_presorted(fp, camera, config, pair_capacity)
+        return _bin_pairs_presorted(
+            fp, camera, config, pair_capacity, tile_rows=tile_rows
+        )
 
     tw, th = config.tile_w, config.tile_h
     tx_n, ty_n = num_tiles(camera, config)

@@ -224,24 +224,34 @@ def render_pallas_sharded(
 ):
     """Fused-Pallas forward with image tiles sharded over 'rays'.
 
-    Binning and the pair-feature stream are computed replicated (cheap
-    relative to the march and needed in full by every shard's kernel DMA);
-    each device runs the fused march kernel over its own contiguous tile
-    range of the stream. This is ray data parallelism for the production
-    forward path — the embarrassingly parallel axis the single-GPU
-    reference cannot use (SURVEY.md parallelism census).
+    SHARDED BINNING: each device bins only its own band of tile ROWS
+    (ops/tiles.bin_pairs tile_rows=...), so the pair expansion, the P-sized
+    tile sort, AND the per-pair feature gather all scale 1/n_dev — only the
+    O(N) per-gaussian work (feature table, footprints, depth pre-sort) is
+    replicated. The result is bit-identical to single-device render_pallas:
+    a band's pair stream is exactly the full stream's rows restricted to
+    its tiles, in the same stable depth order. pair_capacity is the TOTAL
+    frame budget; each shard gets ceil(cap / n_dev) (+n_dropped output for
+    capacity monitoring — bands are not perfectly balanced). This is ray
+    data parallelism for the production forward path — the embarrassingly
+    parallel axis the single-GPU reference cannot use (SURVEY.md census).
     """
     from gaussian_ray_tracing_tpu.models.pallas_renderer import (
         _interpret_default,
-        prepare_pair_stream,
     )
     from gaussian_ray_tracing_tpu.models.tiled import (
         default_pair_capacity,
+        feature_table,
         tile_rays,
         untile_image,
     )
+    from gaussian_ray_tracing_tpu.ops.response import ray_ellipsoid_span
     from gaussian_ray_tracing_tpu.ops.pallas_march import pallas_march_stream
-    from gaussian_ray_tracing_tpu.ops.tiles import num_tiles
+    from gaussian_ray_tracing_tpu.ops.tiles import (
+        bin_pairs,
+        num_tiles,
+        project_footprints_conic,
+    )
 
     if interpret is None:
         interpret = _interpret_default()
@@ -252,44 +262,71 @@ def render_pallas_sharded(
     n_dev = mesh.shape[RAY_AXIS]
     R = config.rays_per_tile
 
-    stream, pair_feats, _, _ = prepare_pair_stream(
-        scene, camera, config, pair_capacity, chunk
+    # --- replicated O(N) frame prep (same math as prepare_pair_stream) ---
+    table, M, radius = feature_table(scene, config, eye=camera.eye)
+    bound_radius = radius * jnp.max(scene.scales, axis=-1)
+    fp = project_footprints_conic(
+        scene.means, scene.scales, scene.quats, radius, bound_radius,
+        camera, config,
     )
+    rel = scene.means - camera.eye
+    rho = jnp.maximum(jnp.linalg.norm(rel, axis=-1), 1e-9)
+    hit, t_in, t_out = ray_ellipsoid_span(
+        scene.means, M, radius, camera.eye, rel / rho[:, None]
+    )
+    key = jnp.where(t_in >= config.t_min, t_in, t_out)
+    key = jnp.where(hit, key, rho)
+    fp = fp._replace(depth=key)
+
+    # depth pre-sort is shard-independent: reorder the table ONCE here so
+    # shards gather from the same rank-space table bin_pairs indexes into
+    dkey = jax.lax.bitcast_convert_type(
+        jnp.clip(fp.depth, 1e-30, 1e30), jnp.int32
+    )
+    _, order = jax.lax.sort_key_val(
+        dkey, jnp.arange(scene.means.shape[0], dtype=jnp.int32)
+    )
+    table_sorted = table[order]
+    F = table.shape[1]
+    if F < 128:
+        table_sorted = jnp.pad(table_sorted, ((0, 0), (0, 128 - F)))
+
     origins, dirs, valid = generate_rays(camera, config)
     dirs_t = tile_rays(dirs, config.tile_w, config.tile_h)
     tx_n, ty_n = num_tiles(camera, config)
     T = tx_n * ty_n
-    T_local = -(-T // n_dev)
+    rows_local = -(-ty_n // n_dev)
+    T_local = rows_local * tx_n
     pad_t = n_dev * T_local - T
     if pad_t:
         dirs_t = jnp.pad(dirs_t, ((0, pad_t), (0, 0), (0, 0)))
-    # per-shard (T_local + 1) start windows (padded tiles are empty: their
-    # starts repeat starts[T], i.e. zero-length segments)
-    starts_full = jnp.concatenate(
-        [stream.starts, jnp.full((pad_t,), stream.starts[T], jnp.int32)]
-    )
-    shard_starts = jnp.stack(
-        [
-            jax.lax.dynamic_slice(starts_full, (d * T_local,), (T_local + 1,))
-            for d in range(n_dev)
-        ]
-    )  # (n_dev, T_local + 1)
+    cap_local = -(-pair_capacity // n_dev)
 
-    def local(starts_l, dirs_l, feats_l, eye_l):
+    def local(fp_l, table_l, dirs_l, eye_l):
+        d = jax.lax.axis_index(RAY_AXIS)
+        stream = bin_pairs(
+            fp_l, camera, config, cap_local,
+            tile_rows=(d * rows_local, rows_local),
+        )
+        gid_ext = jnp.concatenate(
+            [stream.gid, jnp.zeros((chunk,), stream.gid.dtype)]
+        )
+        feats_l = table_l[jnp.maximum(gid_ext, 0)]
         rgb_l, t_l = pallas_march_stream(
-            starts_l[0], eye_l, feats_l, dirs_l, config,
+            stream.starts, eye_l, feats_l, dirs_l, config,
             n_tiles=T_local, rays_per_tile=R, chunk=chunk, interpret=interpret,
             quad=True,
         )
-        return rgb_l, t_l
+        dropped = jax.lax.psum(stream.n_dropped, RAY_AXIS)
+        return rgb_l, t_l, dropped
 
-    rgb_t, t_final = shard_map(
+    rgb_t, t_final, n_dropped = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(), P()),
-        out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+        in_specs=(P(), P(), P(RAY_AXIS), P()),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS), P()),
         check_vma=False,
-    )(shard_starts, dirs_t.reshape(n_dev, T_local, R, 3).reshape(n_dev * T_local, R, 3), pair_feats, camera.eye.astype(jnp.float32))
+    )(fp, table_sorted, dirs_t, camera.eye.astype(jnp.float32))
 
     H, W = camera.height, camera.width
     rgb = untile_image(rgb_t[:T], H, W, config.tile_w, config.tile_h)
@@ -299,7 +336,7 @@ def render_pallas_sharded(
     rgb = jnp.clip(rgb, 0.0, 1.0)
     rgb = jnp.where(valid[..., None], rgb, 0.0)
     alpha = jnp.where(valid, alpha, 0.0)
-    return {"rgb": rgb, "alpha": alpha}
+    return {"rgb": rgb, "alpha": alpha, "n_dropped": n_dropped}
 
 
 @partial(
