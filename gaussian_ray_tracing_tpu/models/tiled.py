@@ -86,6 +86,10 @@ def march_tile_chunk(
     eye: jnp.ndarray,  # (3,)
     gfeats: dict,  # pre-gathered per-slot (Tc, M_cap) arrays (unpack_columns)
     config: RenderConfig,
+    depth_gate=None,  # optional (w_hat (3,), lo, hi): keep only hits whose
+    #             event view-depth z = t_event * (w_hat . d) is in [lo, hi)
+    #             — the straddler-exact depth-slab decomposition
+    #             (parallel/sharded.render_gaussian_sharded_fast)
 ):
     """March a chunk of tiles through their candidate lists.
 
@@ -112,6 +116,13 @@ def march_tile_chunk(
     sh_deg = config.sh_degree
     n_coeffs = num_coeffs(sh_deg)
     basis = sh_basis(dx, dy, dz, sh_deg) if sh_deg > 0 else None  # (Tc, R, K)
+
+    if depth_gate is not None:
+        w_hat, gate_lo, gate_hi = depth_gate
+        w_hat = w_hat.astype(dtype)
+        # per-ray view-depth rate (primary rays share the eye, so the event
+        # view depth is t_event * (w_hat . d))
+        wdot = dx * w_hat[0] + dy * w_hat[1] + dz * w_hat[2]  # (Tc, R)
 
     def step(carry, xs):
         t_carry, racc, gacc, bacc = carry  # (Tc, R) each
@@ -158,6 +169,12 @@ def march_tile_chunk(
         t_event = jnp.where(t_entry < config.t_min, t_exit, t_entry)
         in_window = (t_event >= config.t_min) & (t_event <= config.t_max)
         valid = ex_m(present) & hit & in_window & live[..., None]
+        if depth_gate is not None:
+            # slab ownership by per-ray event view depth: each event is
+            # composited by exactly one slab, and slab index is monotone in
+            # t_event per ray, so the cross-slab fold is exactly ordered
+            z = t_event * wdot[..., None]
+            valid = valid & (z >= gate_lo) & (z < gate_hi)
 
         # gated effective alpha (composite_depth_ordered semantics, inlined
         # so the weights stay rank-3 (Tc, R, mc))
@@ -369,11 +386,13 @@ def prepare_frame(
     return table, binning, dirs_t, valid
 
 
-def march_frame(cand, dirs_t, eye, table, config: RenderConfig, tile_chunk: int):
+def march_frame(cand, dirs_t, eye, table, config: RenderConfig, tile_chunk: int,
+                depth_gate=None):
     """March every tile (chunked): (T, M_cap) + (T, R, 3) -> rgb/alpha tiles.
 
     Fetches all candidate features with one packed row gather up front, then
-    the chunked march is gather-free (pure slicing).
+    the chunked march is gather-free (pure slicing). `depth_gate` (see
+    march_tile_chunk) restricts composited events to a view-depth interval.
     """
     T, m_cap = cand.shape
     n_chunks = -(-T // tile_chunk)
@@ -386,7 +405,8 @@ def march_frame(cand, dirs_t, eye, table, config: RenderConfig, tile_chunk: int)
 
     def chunk_fn(args):
         cand_c, dirs_c, gf_c = args
-        return march_tile_chunk(cand_c, dirs_c, eye, gf_c, config)
+        return march_tile_chunk(cand_c, dirs_c, eye, gf_c, config,
+                                depth_gate=depth_gate)
 
     rgb_t, alpha_t = jax.lax.map(
         chunk_fn,

@@ -341,7 +341,8 @@ def render_pallas_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "mesh", "pair_capacity", "tile_chunk"),
+    static_argnames=("config", "mesh", "pair_capacity", "tile_chunk",
+                     "straddle", "overlap_capacity"),
 )
 def render_gaussian_sharded_fast(
     scene: GaussianScene,
@@ -350,6 +351,8 @@ def render_gaussian_sharded_fast(
     mesh: Mesh,
     pair_capacity: int | None = None,
     tile_chunk: int = 16,
+    straddle: str = "slab",
+    overlap_capacity: int | None = None,
 ):
     """Depth-slab gaussian partitioning on the FAST tiled march.
 
@@ -361,12 +364,22 @@ def render_gaussian_sharded_fast(
     front-to-back segment fold combines the slabs (the compositing
     recurrence is associative over depth-ordered segments; the
     ring-attention analog for volume rendering, see combine_slab_segments).
-    Within-slab ordering follows the configured order mode; cross-slab
-    ordering is exact for depth-separated gaussians; gaussians STRADDLING
-    a slab cut are composited in slab order (matches
-    render_gaussian_sharded's semantics to ~70 dB; on dense high-overlap
-    scenes the decomposition itself costs quality vs a single device,
-    like any depth-partitioned renderer).
+
+    straddle="slab" (fast): gaussians STRADDLING a slab cut are composited
+    in slab order — on dense high-overlap scenes the decomposition itself
+    costs quality vs a single device.
+
+    straddle="exact": every gaussian within its own bound radius of a cut
+    is replicated to the neighboring slab (overlap windows of
+    `overlap_capacity` extra slots each side, default slab/2), and each
+    HIT EVENT is composited by exactly one slab — the one whose view-depth
+    interval [c_k, c_{k+1}) contains the event's per-ray view depth
+    z = t_event * (w_hat . d) (march gate, models/tiled.march_tile_chunk).
+    Slab index is then monotone in t_event along every ray, so the
+    cross-slab fold is EXACTLY per-ray depth ordered: matches the
+    single-device window-order render up to float associativity, with no
+    straddler quality loss. Returns n_straddle_dropped (overlap-capacity
+    overflow; 0 means the decomposition is exact).
     """
     from gaussian_ray_tracing_tpu.models.tiled import (
         default_pair_capacity,
@@ -375,11 +388,10 @@ def render_gaussian_sharded_fast(
         tile_rays,
         untile_image,
     )
+    from gaussian_ray_tracing_tpu.ops.response import adaptive_radius
 
     n_slab = mesh.shape[GAUSS_AXIS]
     N = scene.num_gaussians
-    if pair_capacity is None:
-        pair_capacity = default_pair_capacity(-(-N // n_slab))
 
     # contiguous view-depth slabs (padding has opacity 0: invisible anywhere)
     U, V, W = camera.uvw_frame()
@@ -387,42 +399,131 @@ def render_gaussian_sharded_fast(
     depth = (scene.means - camera.eye) @ w_hat
     order = jnp.argsort(depth)
     pad = (-N) % n_slab
+    n_pad = N + pad
     if pad:
         order = jnp.concatenate([order, order[-1:].repeat(pad)])
-    sorted_scene = GaussianScene(
-        means=scene.means[order],
-        scales=scene.scales[order],
-        quats=scene.quats[order],
-        opacities=jnp.where(
-            jnp.arange(order.shape[0]) < N, scene.opacities[order], 0.0
-        ),
-        sh=scene.sh[order],
-        num_active=scene.num_gaussians,
-    )
+    slab = n_pad // n_slab
 
-    def local(scene_l):
-        table, binning, dirs_t, _ = prepare_frame(
-            scene_l, camera, config, pair_capacity
+    if straddle == "exact":
+        if overlap_capacity is None:
+            overlap_capacity = max(64, slab // 2)
+        M_cap = slab + 2 * overlap_capacity
+        if pair_capacity is None:
+            pair_capacity = default_pair_capacity(M_cap)
+        depth_sorted = depth[order]
+        active_rank = jnp.arange(n_pad) < N
+        op_sorted = jnp.where(active_rank, scene.opacities[order], 0.0)
+        bound_r = adaptive_radius(op_sorted, config.alpha_min) * jnp.max(
+            scene.scales[order], axis=-1
         )
-        rgb_t, alpha_t = march_frame(
-            binning.cand, dirs_t, camera.eye, table, config, tile_chunk
+        bound_r = jnp.where(active_rank, bound_r, 0.0)
+        # slab cut planes in view depth; slab k owns z in [lo[k], hi[k])
+        cuts = depth_sorted[jnp.arange(1, n_slab) * slab]
+        inf = jnp.array([jnp.inf], depth_sorted.dtype)
+        lo_bound = jnp.concatenate([-inf, cuts])  # (n_slab,)
+        hi_bound = jnp.concatenate([cuts, inf])
+        # member rule (per-gaussian reach: every event's view depth lies
+        # within bound_r of the center's):
+        #   depth_i + r_i >= c_k  AND  depth_i - r_i < c_{k+1}
+        # contiguous covers of these non-contiguous sets via the monotone
+        # prefix-max of (depth + r) and suffix-min of (depth - r); a single
+        # global r_max would let one giant background gaussian drag every
+        # slab's window over the whole scene
+        reach_hi = jax.lax.cummax(depth_sorted + bound_r)  # prefix max
+        reach_lo = -jax.lax.cummax((bound_r - depth_sorted)[::-1])[::-1]
+        lo_idx = jnp.searchsorted(reach_hi, lo_bound, side="left")
+        hi_idx = jnp.searchsorted(reach_lo, hi_bound, side="left")
+        ks = jnp.arange(n_slab)
+        # capacity clamp keeps the OWNED slab [k*slab, (k+1)*slab) intact
+        start = jnp.clip(
+            lo_idx,
+            jnp.maximum((ks + 1) * slab - M_cap, 0),
+            ks * slab,
         )
-        t_l = 1.0 - alpha_t  # (T, R) slab transmittance
-        rgb_all = jax.lax.all_gather(rgb_t, GAUSS_AXIS)  # (S, T, R, 3)
-        t_all = jax.lax.all_gather(t_l, GAUSS_AXIS)
-        return combine_slab_segments(rgb_all, t_all)
+        n_dropped = jnp.sum(
+            jnp.maximum(start - lo_idx, 0)
+            + jnp.maximum(hi_idx - (start + M_cap), 0)
+        )
+        idx = start[:, None] + jnp.arange(M_cap)[None, :]  # (n_slab, M_cap)
+        idx_c = jnp.clip(idx, 0, n_pad - 1)
+        d_g = depth_sorted[idx_c]
+        r_g = bound_r[idx_c]
+        member = (
+            (idx < n_pad)
+            & active_rank[idx_c]
+            & (d_g + r_g >= lo_bound[:, None])
+            & (d_g - r_g < hi_bound[:, None])
+        )
+        g = order[idx_c]  # (n_slab, M_cap) original ids
+        means_s = scene.means[g]
+        scales_s = scene.scales[g]
+        quats_s = scene.quats[g]
+        op_s = jnp.where(member, scene.opacities[g], 0.0)
+        sh_s = scene.sh[g]
 
-    scene_spec = GaussianScene(
-        means=P(GAUSS_AXIS), scales=P(GAUSS_AXIS), quats=P(GAUSS_AXIS),
-        opacities=P(GAUSS_AXIS), sh=P(GAUSS_AXIS), num_active=scene.num_gaussians,
-    )
-    rgb_t, t_total = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(scene_spec,),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )(sorted_scene)
+        def local_exact(means_l, scales_l, quats_l, op_l, sh_l, lo_l, hi_l):
+            scene_l = GaussianScene(
+                means=means_l[0], scales=scales_l[0], quats=quats_l[0],
+                opacities=op_l[0], sh=sh_l[0], num_active=M_cap,
+            )
+            table, binning, dirs_t, _ = prepare_frame(
+                scene_l, camera, config, pair_capacity
+            )
+            rgb_t, alpha_t = march_frame(
+                binning.cand, dirs_t, camera.eye, table, config, tile_chunk,
+                depth_gate=(w_hat, lo_l[0], hi_l[0]),
+            )
+            rgb_all = jax.lax.all_gather(rgb_t, GAUSS_AXIS)  # (S, T, R, 3)
+            t_all = jax.lax.all_gather(1.0 - alpha_t, GAUSS_AXIS)
+            return combine_slab_segments(rgb_all, t_all)
+
+        rgb_t, t_total = shard_map(
+            local_exact,
+            mesh=mesh,
+            in_specs=(P(GAUSS_AXIS),) * 7,
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(means_s, scales_s, quats_s, op_s, sh_s, lo_bound, hi_bound)
+    elif straddle == "slab":
+        if pair_capacity is None:
+            pair_capacity = default_pair_capacity(slab)
+        n_dropped = jnp.zeros((), jnp.int32)
+        sorted_scene = GaussianScene(
+            means=scene.means[order],
+            scales=scene.scales[order],
+            quats=scene.quats[order],
+            opacities=jnp.where(
+                jnp.arange(order.shape[0]) < N, scene.opacities[order], 0.0
+            ),
+            sh=scene.sh[order],
+            num_active=scene.num_gaussians,
+        )
+
+        def local(scene_l):
+            table, binning, dirs_t, _ = prepare_frame(
+                scene_l, camera, config, pair_capacity
+            )
+            rgb_t, alpha_t = march_frame(
+                binning.cand, dirs_t, camera.eye, table, config, tile_chunk
+            )
+            t_l = 1.0 - alpha_t  # (T, R) slab transmittance
+            rgb_all = jax.lax.all_gather(rgb_t, GAUSS_AXIS)  # (S, T, R, 3)
+            t_all = jax.lax.all_gather(t_l, GAUSS_AXIS)
+            return combine_slab_segments(rgb_all, t_all)
+
+        scene_spec = GaussianScene(
+            means=P(GAUSS_AXIS), scales=P(GAUSS_AXIS), quats=P(GAUSS_AXIS),
+            opacities=P(GAUSS_AXIS), sh=P(GAUSS_AXIS), num_active=scene.num_gaussians,
+        )
+        rgb_t, t_total = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(scene_spec,),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(sorted_scene)
+    else:
+        raise ValueError(f"unknown straddle mode {straddle!r}")
 
     origins, dirs, valid = generate_rays(camera, config)
     H, W_px = camera.height, camera.width
@@ -433,7 +534,7 @@ def render_gaussian_sharded_fast(
     rgb = jnp.clip(rgb, 0.0, 1.0)
     rgb = jnp.where(valid[..., None], rgb, 0.0)
     alpha = jnp.where(valid, alpha, 0.0)
-    return {"rgb": rgb, "alpha": alpha}
+    return {"rgb": rgb, "alpha": alpha, "n_straddle_dropped": n_dropped}
 
 
 @partial(

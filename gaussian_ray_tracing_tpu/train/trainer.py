@@ -16,7 +16,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gaussian_ray_tracing_tpu.cameras import Camera
 from gaussian_ray_tracing_tpu.config import RenderConfig
@@ -107,6 +107,34 @@ def reset_opt_moments(opt_state, touched: jnp.ndarray):
     return jax.tree_util.tree_map(z, opt_state)
 
 
+def shard_opt_state_constraint(opt_state, params: GaussianModel, mesh: Mesh):
+    """ZeRO-1 analog: constrain every optimizer-state array whose leading
+    axis is the gaussian slot axis to be sharded over the mesh's data-
+    parallel ('rays') axis. Params and grads stay replicated (they are
+    needed in full by every shard's render); only the adam moments — 2x
+    the parameter memory — shrink to 1/n_dev per device. GSPMD inserts
+    the update-time collectives (the moment update runs on each device's
+    own shard; optax.apply_updates all-gathers the updates back).
+    """
+    from gaussian_ray_tracing_tpu.parallel.mesh import RAY_AXIS
+    from jax.sharding import NamedSharding
+
+    n = params.means.shape[0]
+    n_dev = mesh.shape.get(RAY_AXIS, 1)
+    if n % n_dev != 0:
+        return opt_state  # non-divisible capacity: keep replicated
+
+    def c(x):
+        if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == n:
+            spec = P(RAY_AXIS, *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec)
+            )
+        return x
+
+    return jax.tree_util.tree_map(c, opt_state)
+
+
 def make_train_step(
     config: RenderConfig,
     tx: optax.GradientTransformation,
@@ -114,6 +142,7 @@ def make_train_step(
     loss_fn: Callable = l2_loss,
     use_pallas: Optional[bool] = None,
     pair_capacity: Optional[int] = None,
+    shard_opt_state: bool = True,
 ):
     """Build a jitted train step: (state, camera, target(H,W,3)) -> (state, metrics).
 
@@ -122,7 +151,9 @@ def make_train_step(
     (ops/pallas_march.march_stream_diff); otherwise the XLA tiled path
     (autodiff + remat). With a mesh, rendering is tile-sharded over the
     'rays' axis (the grad psum across shards is inserted by shard_map's
-    transpose).
+    transpose) and, with shard_opt_state, the adam moments are sharded
+    over the same axis on the gaussian dim (see
+    shard_opt_state_constraint) so optimizer memory scales 1/n_dev.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -157,7 +188,12 @@ def make_train_step(
     @jax.jit
     def train_step(state: TrainState, camera: Camera, target: jnp.ndarray):
         loss, grads = jax.value_and_grad(compute_loss)(state.params, camera, target)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        opt_in = state.opt_state
+        if mesh is not None and shard_opt_state:
+            opt_in = shard_opt_state_constraint(opt_in, state.params, mesh)
+        updates, opt_state = tx.update(grads, opt_in, state.params)
+        if mesh is not None and shard_opt_state:
+            opt_state = shard_opt_state_constraint(opt_state, state.params, mesh)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)
         # mean_grads feeds the densification statistics (train/density.py);

@@ -95,6 +95,19 @@ def test_sharded_train_step_matches_single_device(scene):
     np.testing.assert_allclose(
         np.asarray(s1.params.means), np.asarray(s2.params.means), atol=1e-4
     )
+    # ZeRO-1 analog: the adam moments came back SHARDED over 'rays' on the
+    # gaussian axis — each device holds 1/8 of the optimizer memory
+    n = model.means.shape[0]
+    moment_leaves = [
+        x for x in jax.tree_util.tree_leaves(s2.opt_state)
+        if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == n
+    ]
+    assert moment_leaves, "no slot-axis optimizer state found"
+    for x in moment_leaves:
+        shard = x.addressable_shards[0].data
+        assert shard.shape[0] == n // 8, (
+            f"moment leaf {x.shape} not sharded: shard {shard.shape}"
+        )
     # loss decreases over a few steps
     s, prev = s2, float(m2["loss"])
     for _ in range(3):
@@ -135,6 +148,40 @@ def test_gaussian_sharded_fast_matches_oracle_slabs():
     a = render_gaussian_sharded(scene, cam, cfg, mesh)
     b = render_gaussian_sharded_fast(scene, cam, cfg, mesh, pair_capacity=100_000)
     assert float(psnr(a["rgb"], b["rgb"])) > 45.0
+
+
+def test_gaussian_slab_exact_straddlers_dense():
+    """straddle="exact" removes the slab-order quality loss on a DENSE
+    scene whose gaussians straddle the depth cuts: every hit event is
+    composited by the one slab owning its per-ray view depth, so the fold
+    is exactly per-ray ordered (VERDICT round-1 weak item 6)."""
+    from gaussian_ray_tracing_tpu.parallel.sharded import (
+        render_gaussian_sharded_fast,
+    )
+
+    # large scales => iso ellipsoids much wider than a slab's depth extent
+    scene = random_scene(800, seed=7, mean_scale=0.12, density_scaling=False)
+    cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                        width=64, height=32)
+    # march_chunk >= max_per_tile: the within-slab window sort is a full
+    # per-ray argsort, so the only decomposition error is the straddle rule
+    cfg = CFG.replace(order="window", max_per_tile=2048, march_chunk=2048)
+    ref = render_oracle(scene, cam, cfg)
+    mesh = make_mesh(8, axis=GAUSS_AXIS)
+    ex = render_gaussian_sharded_fast(
+        scene, cam, cfg, mesh, pair_capacity=100_000, straddle="exact",
+        overlap_capacity=448,
+    )
+    assert int(ex["n_straddle_dropped"]) == 0
+    p_ex = float(psnr(np.asarray(ref["rgb"]), np.asarray(ex["rgb"])))
+    sl = render_gaussian_sharded_fast(scene, cam, cfg, mesh,
+                                      pair_capacity=100_000)
+    p_sl = float(psnr(np.asarray(ref["rgb"]), np.asarray(sl["rgb"])))
+    assert p_ex >= 40.0, f"exact-straddle vs oracle PSNR {p_ex:.1f}"
+    assert p_ex > p_sl, (
+        f"exact {p_ex:.1f} dB should beat slab-order {p_sl:.1f} dB on a "
+        "dense straddling scene"
+    )
 
 
 def test_gaussian_ring_matches_allgather_fold():
