@@ -64,6 +64,38 @@ def _roll(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     return pltpu.roll(x, shift % c, axis=0)
 
 
+def _tri_dot(tri_bf: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(c, c) 0/1-triangular @ (c, R) at f32-grade accuracy on the bf16 MXU.
+
+    A plain f32 matmul runs the MXU at ~1/8 rate; splitting x into bf16
+    hi + bf16 residual and accumulating two bf16 passes in f32 recovers
+    ~2^-16 relative accuracy (the mask matrix is exact in bf16) at ~4x the
+    f32-matmul throughput. Used for every prefix-sum contraction in the
+    march and its backward."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    f32 = jnp.float32
+    return jnp.dot(tri_bf, hi, preferred_element_type=f32) + jnp.dot(
+        tri_bf, lo, preferred_element_type=f32
+    )
+
+
+def _running_max_excl(x: jnp.ndarray, cand_idx: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive running max along the candidate (sublane) axis: out[i] =
+    max(x[0..i-1]), -inf at i = 0. log2(c) masked-roll steps (the circular
+    wrap is neutralized by masking rolled-in lanes to -inf)."""
+    c = x.shape[0]
+    ninf = jnp.float32(-jnp.inf)
+    y = jnp.where(cand_idx >= 1, _roll(x, 1), ninf)
+    d = 1
+    while d < c:
+        # Hillis-Steele doubling: y[i] covers x[max(0, i-2d) .. i-1] after
+        # this step; y[i-d] is defined (exclusive) only for i-d >= 1
+        y = jnp.maximum(y, jnp.where(cand_idx >= d + 1, _roll(y, d), ninf))
+        d *= 2
+    return y
+
+
 def _bitonic_sort(key, payloads, c: int):
     """Ascending per-lane bitonic sort of (c, R) arrays along the candidate
     axis, carrying a tuple of payload arrays (any dtype — payloads are only
@@ -135,10 +167,11 @@ def _march_kernel(
     acc[3:4, :] = dirs[5:6, :]  # carry-in transmittance
 
     # strictly-lower-triangular ones: exclusive prefix sums over candidates
+    # (bf16: the mask is exact in bf16 and _tri_dot runs it on the fast MXU)
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
         > jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    ).astype(f32)
+    ).astype(jnp.bfloat16)
     cand_idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
 
     sh_deg = config.sh_degree
@@ -304,94 +337,120 @@ def _march_kernel(
                         acc_c += basis[k] * col(_SH0 + ch * K + k)
                     colors.append(jnp.maximum(acc_c, 0.0))  # (c, R)
 
-            if config.order == "window":
-                # per-ray bitonic sort of this chunk by exact event t
-                # (bounded-window exact ordering, tracer.cu:124-153 k-buffer
-                # semantics at window width c). The key is UNIQUE per lane:
-                # (t quantized to 16 bits within the chunk's range) << 8 |
-                # source candidate index — uniqueness makes the network a
-                # true permutation (on key ties the XOR-exchange duplicates
-                # one payload and drops its partner, which both corrupts
-                # colors and breaks the backward's permutation inverse;
-                # zero-alpha entries all tied before). Zero-alpha entries
-                # take t-bucket 65535 so they sort after every real hit.
-                # Alpha rides as an EXACT float payload (it used to be
-                # 15 key bits); colors as a 3x10-bit pack (1/256 steps over
-                # [0,4); output is RGB8-quantized anyway, tracer.cuh:484).
-                gated_t = jnp.where(a > 0.0, t_event, jnp.inf)
-                t_min_c = jnp.min(gated_t)
-                t_max_c = jnp.max(jnp.where(a > 0.0, t_event, -jnp.inf))
-                t_rng = jnp.maximum(t_max_c - t_min_c, 1e-20)
-                tq = jnp.clip(
-                    (t_event - t_min_c) * (65534.0 / t_rng), 0.0, 65534.0
-                ).astype(jnp.int32)
-                src = jax.lax.broadcasted_iota(jnp.int32, (c, R), 0)
-                zbase = jnp.int32(65535 << 8)
-                skey = jnp.where(
-                    a > 0.0, jax.lax.shift_left(tq, 8), zbase
-                ) | src
-                q = lambda x: jnp.clip(x * 255.75, 0.0, 1023.0).astype(jnp.int32)
-                cpack = (
-                    jax.lax.shift_left(q(colors[0]), 20)
-                    | jax.lax.shift_left(q(colors[1]), 10)
-                    | q(colors[2])
+            minT = config.min_transmittance
+
+            def _composite(a_ord, colors_ord):
+                """Front-to-back composite of (already correctly ordered)
+                alphas: exclusive prefix product on the bf16-split MXU
+                (ops/composite.py equivalence), early-termination freeze
+                (shaders/tracer.cuh:341), per-channel radiance. Returns
+                (rgb_part (3, R), t_next (1, R))."""
+                logp = jnp.log1p(-a_ord)
+                s_excl = _tri_dot(tri, logp)  # (c, R)
+                p_excl = t_carry * jnp.exp(s_excl)
+                p_incl = p_excl * (1.0 - a_ord)
+                w = a_ord * p_excl * (p_excl > minT)
+
+                # sequential early-termination semantics (ops/composite.py):
+                # the first candidate (in composite order) driving p below
+                # minT freezes the carry — that p is the MAX of the below set
+                below = p_incl <= minT
+                frozen = jnp.max(
+                    jnp.where(below, p_incl, -jnp.inf), axis=0, keepdims=True
                 )
-                cpack = jnp.broadcast_to(cpack, (c, R))
-                apay = jnp.broadcast_to(a, (c, R))
-                # skip the sort network when this chunk is already per-ray
-                # ordered among significant hits (common: the stream is
-                # globally key-ordered, so sparse/well-separated chunks
-                # arrive sorted) — one roll + compare vs 28 butterfly stages
-                nxt = _roll(skey, -1)
-                pos_ok = cand_idx < (c - 1)
-                has_inv = jnp.any((skey > nxt) & pos_ok & (nxt < zbase))
-                skey, (cpack, a) = jax.lax.cond(
-                    has_inv,
-                    lambda k, p: _bitonic_sort(k, p, c),
-                    lambda k, p: (k, p),
-                    skey, (cpack, apay),
+                p_last = t_carry * jnp.exp(
+                    jnp.sum(logp, axis=0, keepdims=True)
+                )  # full-chunk product: order-free
+                t_next = jnp.where(
+                    jnp.any(below, axis=0, keepdims=True), frozen, p_last
                 )
-                unq = lambda x: x.astype(f32) * (1.0 / 255.75)
-                mask10 = jnp.int32(1023)
-                colors = [
-                    unq(jax.lax.shift_right_logical(cpack, 20) & mask10),
-                    unq(jax.lax.shift_right_logical(cpack, 10) & mask10),
-                    unq(cpack & mask10),
-                ]
 
-            # exclusive prefix product over candidates on the MXU
-            logp = jnp.log1p(-a)
-            s_excl = jnp.dot(tri, logp, preferred_element_type=f32)  # (c, R)
-            p_excl = t_carry * jnp.exp(s_excl)
-            p_incl = p_excl * (1.0 - a)
-            w = a * p_excl * (p_excl > config.min_transmittance)
-
-            # sequential early-termination semantics (ops/composite.py)
-            below = p_incl <= config.min_transmittance
-            frozen = jnp.max(
-                jnp.where(below, p_incl, -jnp.inf), axis=0, keepdims=True
-            )
-            p_last = p_incl[c - 1 : c, :]
-            t_next = jnp.where(jnp.any(below, axis=0, keepdims=True), frozen, p_last)
-            acc[3:4, :] = jnp.where(
-                t_carry > config.min_transmittance, t_next, t_carry
-            )
-
-            # per-channel radiance accumulation; when colors are per-candidate
-            # (c, 1) columns, the contraction over candidates is ONE MXU
-            # matmul (3, c) @ (c, R) instead of 3 broadcast-multiply+reduce
-            if quad and sh_deg == 0 and config.order != "window":
-                rgb_acc = jax.lax.dot_general(
-                    g[:, _RGB0 : _RGB0 + 3], w,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )  # (3, R)
-                acc[0:3, :] = acc[0:3, :] + rgb_acc
-            else:
-                for ch in range(3):
-                    acc[ch : ch + 1, :] = acc[ch : ch + 1, :] + jnp.sum(
-                        w * colors[ch], axis=0, keepdims=True
+                if colors_ord[0].shape == (c, 1):
+                    # per-candidate color columns: ONE MXU (3, c) @ (c, R)
+                    cols = jnp.concatenate(colors_ord, axis=1)  # (c, 3)
+                    rgb_part = jax.lax.dot_general(
+                        cols, w, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )  # (3, R)
+                else:
+                    rgb_part = jnp.concatenate(
+                        [
+                            jnp.sum(w * colors_ord[ch], axis=0, keepdims=True)
+                            for ch in range(3)
+                        ],
+                        axis=0,
                     )
+                return rgb_part, t_next
+
+            if config.order == "window":
+                # Bounded-window exact ordering (tracer.cu:124-153 k-buffer
+                # semantics at window width c): per-ray bitonic sort of the
+                # chunk by exact event t — SKIPPED when the significant
+                # (a > 0) subsequence is already nondecreasing in t. The
+                # test is an exclusive running max over significance-gated
+                # t (log2(c) masked rolls): exact on subsequences, unlike
+                # an adjacent-pair test, which both misses inversions
+                # straddling gated-out candidates and fires spuriously when
+                # any gated-out candidate precedes a real hit.
+                sig_t = jnp.where(a > 0.0, t_event, -jnp.inf)
+                rmax = _running_max_excl(sig_t, cand_idx)
+                has_inv = jnp.any((a > 0.0) & (t_event < rmax))
+
+                def _sorted_branch(a_, t_event_):
+                    # pack (paid only when the network runs). The key is
+                    # UNIQUE per lane: (t quantized to 16 bits within the
+                    # chunk's range) << 8 | source candidate index —
+                    # uniqueness makes the network a true permutation (on
+                    # key ties the XOR-exchange duplicates one payload and
+                    # drops its partner, which both corrupts colors and
+                    # breaks the backward's permutation inverse).
+                    # Zero-alpha entries take t-bucket 65535 so they sort
+                    # after every real hit. Alpha rides as an EXACT float
+                    # payload; colors as a 3x10-bit pack (1/256 steps over
+                    # [0,4); output is RGB8-quantized anyway, tracer.cuh:484).
+                    gated_t = jnp.where(a_ > 0.0, t_event_, jnp.inf)
+                    t_min_c = jnp.min(gated_t)
+                    t_max_c = jnp.max(jnp.where(a_ > 0.0, t_event_, -jnp.inf))
+                    t_rng = jnp.maximum(t_max_c - t_min_c, 1e-20)
+                    tq = jnp.clip(
+                        (t_event_ - t_min_c) * (65534.0 / t_rng), 0.0, 65534.0
+                    ).astype(jnp.int32)
+                    src = jax.lax.broadcasted_iota(jnp.int32, (c, R), 0)
+                    zbase = jnp.int32(65535 << 8)
+                    skey = jnp.where(
+                        a_ > 0.0, jax.lax.shift_left(tq, 8), zbase
+                    ) | src
+                    q = lambda x: jnp.clip(x * 255.75, 0.0, 1023.0).astype(
+                        jnp.int32
+                    )
+                    cpack = (
+                        jax.lax.shift_left(q(colors[0]), 20)
+                        | jax.lax.shift_left(q(colors[1]), 10)
+                        | q(colors[2])
+                    )
+                    cpack = jnp.broadcast_to(cpack, (c, R))
+                    apay = jnp.broadcast_to(a_, (c, R))
+                    _, (cpack, a_s) = _bitonic_sort(skey, (cpack, apay), c)
+                    unq = lambda x: x.astype(f32) * (1.0 / 255.75)
+                    mask10 = jnp.int32(1023)
+                    colors_s = [
+                        unq(jax.lax.shift_right_logical(cpack, 20) & mask10),
+                        unq(jax.lax.shift_right_logical(cpack, 10) & mask10),
+                        unq(cpack & mask10),
+                    ]
+                    return _composite(a_s, colors_s)
+
+                rgb_part, t_next = jax.lax.cond(
+                    has_inv,
+                    _sorted_branch,
+                    lambda a_, t_: _composite(a_, colors),
+                    a, t_event,
+                )
+            else:
+                rgb_part, t_next = _composite(a, colors)
+
+            acc[3:4, :] = jnp.where(t_carry > minT, t_next, t_carry)
+            acc[0:3, :] = acc[0:3, :] + rgb_part
 
         return 0
 
@@ -602,11 +661,11 @@ def _march_bwd_kernel(
     tri_lo = (
         jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
         > jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    ).astype(f32)
+    ).astype(jnp.bfloat16)
     tri_up = (
         jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
         < jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    ).astype(f32)
+    ).astype(jnp.bfloat16)
     cand_idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
 
     sh_deg = config.sh_degree
@@ -726,9 +785,11 @@ def _march_bwd_kernel(
                 )
                 cpack = jnp.broadcast_to(cpack, (c, R))
                 apay = jnp.broadcast_to(a, (c, R))
-                nxt = _roll(skey, -1)
-                pos_ok = cand_idx < (c - 1)
-                has_inv = jnp.any((skey > nxt) & pos_ok & (nxt < zbase))
+                # MUST match the forward's skip decision bit-exactly: same
+                # significance-gated running-max test on the same inputs
+                sig_t = jnp.where(a > 0.0, t_event, -jnp.inf)
+                rmax = _running_max_excl(sig_t, cand_idx)
+                has_inv = jnp.any((a > 0.0) & (t_event < rmax))
                 skey_s, (cpack_s, a_s) = jax.lax.cond(
                     has_inv,
                     lambda k, p: _bitonic_sort(k, p, c),
@@ -745,7 +806,7 @@ def _march_bwd_kernel(
                 ]
 
                 lp = jnp.log1p(-a_s)
-                S = jnp.dot(tri_lo, lp, preferred_element_type=f32)
+                S = _tri_dot(tri_lo, lp)
                 E = jnp.exp(S)
                 P = t_in * E
                 gate_w = (P > minT).astype(f32)
@@ -763,9 +824,7 @@ def _march_bwd_kernel(
                 acc[0:1, :] = dT * prod + jnp.sum(
                     d_P * E, axis=0, keepdims=True
                 )
-                d_lp = dT * t_in * prod + jnp.dot(
-                    tri_up, d_P * P, preferred_element_type=f32
-                )
+                d_lp = dT * t_in * prod + _tri_dot(tri_up, d_P * P)
                 d_a_s = d_a_s - d_lp / (1.0 - a_s)
 
                 # inverse permutation: ascending sort on the source index
@@ -777,7 +836,7 @@ def _march_bwd_kernel(
                 )
             else:
                 lp = jnp.log1p(-a)
-                S = jnp.dot(tri_lo, lp, preferred_element_type=f32)
+                S = _tri_dot(tri_lo, lp)
                 E = jnp.exp(S)
                 P = t_in * E
                 gate_w = (P > minT).astype(f32)
@@ -794,9 +853,7 @@ def _march_bwd_kernel(
                 acc[0:1, :] = dT * prod + jnp.sum(
                     d_P * E, axis=0, keepdims=True
                 )
-                d_lp = dT * t_in * prod + jnp.dot(
-                    tri_up, d_P * P, preferred_element_type=f32
-                )
+                d_lp = dT * t_in * prod + _tri_dot(tri_up, d_P * P)
                 d_a = d_a - d_lp / (1.0 - a)
 
             # color/SH grads (w is in ORIGINAL candidate order in both paths)
