@@ -319,7 +319,12 @@ def render_with_mesh_fast(
     n_tiles = tx_n * ty_n
     R = config.rays_per_tile
     if block_capacity is None:
-        block_capacity = n_tiles * chunk * 8  # avg 8 blocks per tile
+        # a HARD per-tile budget of 16 near-to-far blocks (block_stream
+        # max_per_tile): the capacity clip can then never starve a tile.
+        # Measured need on the adversarial 100k mirror scene: median 11,
+        # mean 17 blocks/tile — the clamp drops only the farthest blocks
+        # of the heaviest tiles, which early termination rarely reaches.
+        block_capacity = n_tiles * chunk * 16
     block_capacity = (block_capacity // chunk) * chunk
 
     from gaussian_ray_tracing_tpu.ops.pallas_tri import (
@@ -358,13 +363,21 @@ def render_with_mesh_fast(
 
     zero3 = jnp.zeros((n_tiles, R, 3), jnp.float32)
     zero = jnp.zeros((n_tiles, R), jnp.float32)
-    accum_color, direct_light = zero3, zero3
-    accum_alpha, blocking = zero, zero
-    bounces = jnp.zeros((n_tiles, R), jnp.int32)
-    trans = jnp.ones((n_tiles, R), jnp.float32)
-    done = jnp.zeros((n_tiles, R), bool)
+    state = (
+        o_t, d_t,
+        zero3, zero,  # accum_color, accum_alpha
+        zero3, zero,  # direct_light, blocking
+        jnp.zeros((n_tiles, R), jnp.int32),  # bounces
+        jnp.ones((n_tiles, R), jnp.float32),  # trans
+        jnp.zeros((n_tiles, R), bool),  # done
+        jnp.zeros((), jnp.int32),  # dropped block slots (quality telemetry)
+    )
 
-    for b in range(loop_bound):
+    from gaussian_ray_tracing_tpu.ops.intersect import MeshHit
+
+    def bounce_body(state, first: bool):
+        (o_t, d_t, accum_color, accum_alpha, direct_light, blocking,
+         bounces, trans, done, drops) = state
         live = (
             (~done)
             & (jnp.sum(d_t * d_t, axis=-1) > 0.01)
@@ -373,7 +386,10 @@ def render_with_mesh_fast(
         d_live = jnp.where(live[..., None], d_t, 0.0)
         fbundles = bundle_rays(o_t, d_live)
         fvis = cull_blocks(findex, fbundles, config.mesh_t_max)
-        fstream = block_stream(fvis, findex, fbundles, face_capacity)
+        fstream = block_stream(
+            fvis, findex, fbundles, face_capacity,
+            max_per_tile=max(1, face_capacity // (n_tiles * FACES_PER_BLOCK)),
+        )
         t_hit, fpk, hu, hv = pallas_closest_hit(
             fstream.starts, fstream.blk, face_rows, d_live, camera.eye,
             config.mesh_t_min, config.mesh_t_max, n_tiles, R,
@@ -384,13 +400,12 @@ def render_with_mesh_fast(
             tri_perm[jnp.clip(fpk, 0, n_faces - 1)].astype(jnp.int32),
             -1,
         )
-        from gaussian_ray_tracing_tpu.ops.intersect import MeshHit
-
         hit = MeshHit(t=t_hit, face=face, u=hu, v=hv)
         has_hit = (hit.face >= 0) & live
         seg_hi = jnp.where(has_hit, hit.t, config.t_max)
+        drops = drops + fstream.n_dropped
 
-        if b == 0:
+        if first:
             rgb_t, t_next = pallas_march_stream(
                 stream.starts, camera.eye.astype(jnp.float32), pair_feats,
                 d_live, config, n_tiles=n_tiles, rays_per_tile=R, chunk=chunk,
@@ -398,8 +413,15 @@ def render_with_mesh_fast(
             )
         else:
             bundles = bundle_rays(o_t, d_live)
-            visible = cull_blocks(index, bundles, config.t_max)
-            bstream = block_stream(visible, index, bundles, block_capacity)
+            # per-tile t cap: nothing beyond the tile's farthest live
+            # segment end can contribute (glass interiors are short)
+            t_cap = jnp.max(jnp.where(live, seg_hi, 0.0), axis=-1)
+            visible = cull_blocks(index, bundles, t_cap)
+            bstream = block_stream(
+                visible, index, bundles, block_capacity,
+                max_per_tile=max(1, block_capacity // (n_tiles * chunk)),
+            )
+            drops = drops + bstream.n_dropped
             rgb_t, t_next = pallas_march_stream(
                 bstream.starts, camera.eye.astype(jnp.float32), sorted_table,
                 d_live, config, n_tiles=n_tiles, rays_per_tile=R, chunk=chunk,
@@ -456,6 +478,28 @@ def render_with_mesh_fast(
         bounces = jnp.where(has_hit, new_bounces, bounces)
         trans = t_next
         done = done | miss | terminate_hit | (~live)
+        return (o_t, d_t, accum_color, accum_alpha, direct_light, blocking,
+                bounces, trans, done, drops)
+
+    state = bounce_body(state, True)
+    for _ in range(1, loop_bound):
+        # skip whole dead iterations at runtime (e.g. a mirror scene
+        # finishes in 2 bounces while loop_bound=4: the triangle pass,
+        # block cull/stream, and the march of the dead rounds all vanish)
+        def _any_live(s):
+            return jnp.any(
+                (~s[8]) & (jnp.sum(s[1] * s[1], axis=-1) > 0.01)
+                & (s[6] < config.max_bounces)
+            )
+
+        state = jax.lax.cond(
+            _any_live(state),
+            lambda s: bounce_body(s, False),
+            lambda s: s,
+            state,
+        )
+    (o_t, d_t, accum_color, accum_alpha, direct_light, blocking,
+     bounces, trans, done, drops) = state
 
     rgb = untile_image(accum_color, H, W, config.tile_w, config.tile_h)
     alpha = untile_image(
@@ -464,7 +508,8 @@ def render_with_mesh_fast(
     rgb = jnp.clip(rgb, 0.0, 1.0)
     rgb = jnp.where(valid[..., None], rgb, 0.0)
     alpha = jnp.where(valid, alpha, 0.0)
-    return {"rgb": rgb, "alpha": alpha}
+    return {"rgb": rgb, "alpha": alpha,
+            "aux": {"block_dropped": drops, "pair_dropped": stream.n_dropped}}
 
 
 def render_with_mesh(

@@ -122,13 +122,21 @@ def bundle_rays(origins_t: jnp.ndarray, dirs_t: jnp.ndarray) -> RayBundles:
     )
 
 
-def cull_blocks(index: BlockIndex, bundles: RayBundles, t_max: float) -> jnp.ndarray:
+def cull_blocks(
+    index: BlockIndex,
+    bundles: RayBundles,
+    t_max,
+) -> jnp.ndarray:
     """(T, B) bool: block sphere potentially intersects the bundle's cone.
 
     Conservative cone-vs-sphere with the origin sphere folded into the
     block radius: visible iff the angle from the cone axis to the block
     center is within half_angle + asin(expanded_radius / dist), the block
     is not entirely behind the bundle, and within t_max.
+
+    t_max: scalar, or a (T,) per-tile cap (e.g. the tile's max live-ray
+    segment end from a mesh hit — glass interior segments are short, so a
+    per-tile cap culls everything beyond the exit surface).
     """
     v = index.centers[None, :, :] - bundles.o_c[:, None, :]  # (T, B, 3)
     dist = jnp.linalg.norm(v, axis=-1)  # (T, B)
@@ -141,7 +149,10 @@ def cull_blocks(index: BlockIndex, bundles: RayBundles, t_max: float) -> jnp.nda
     delta = jnp.arcsin(jnp.clip(rr / jnp.maximum(dist, 1e-9), 0.0, 1.0))
     in_cone = ang_to <= (half + delta)
     forward = (along + rr) > 0.0
-    near = (dist - rr) <= t_max
+    t_cap = jnp.asarray(t_max)
+    if t_cap.ndim == 1:
+        t_cap = t_cap[:, None]
+    near = (dist - rr) <= t_cap
     return (inside | (in_cone & forward & near)) & bundles.any_live[:, None]
 
 
@@ -158,9 +169,17 @@ def block_stream(
     index: BlockIndex,
     bundles: RayBundles,
     capacity: int,
+    max_per_tile: int | None = None,
 ) -> BlockStream:
     """Expand culled blocks into a per-tile candidate stream over the
-    morton-SORTED gaussian ids, blocks ordered near-to-far per tile."""
+    morton-SORTED gaussian ids, blocks ordered near-to-far per tile.
+
+    max_per_tile: optional per-tile block budget. Blocks beyond it are the
+    FARTHEST of that tile (the order is near-to-far), which front-to-back
+    early termination makes the least likely to contribute — strictly
+    better than the capacity clip alone, which starves whole later tiles.
+    With capacity >= T * max_per_tile * block_size the capacity clip then
+    never fires at all."""
     T, B = visible.shape
     bs = index.block_size
     cap_b = capacity // bs  # expansion runs at block granularity (bs x smaller)
@@ -170,6 +189,11 @@ def block_stream(
     keys = jnp.where(visible, dist, jnp.inf)
     order = jnp.argsort(keys, axis=-1).astype(jnp.int32)  # (T, B) near-to-far
     counts_b = jnp.sum(visible, axis=-1).astype(jnp.int32)  # (T,)
+    n_clipped = jnp.int32(0)
+    if max_per_tile is not None and max_per_tile < B:
+        clipped = jnp.minimum(counts_b, max_per_tile)
+        n_clipped = jnp.sum(counts_b - clipped)
+        counts_b = clipped
     starts_b = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_b).astype(jnp.int32)]
     )
@@ -190,5 +214,5 @@ def block_stream(
         blk=blk,
         starts=starts_b * bs,
         n_slots=total_b * bs,
-        n_dropped=jnp.maximum(total_b - cap_b, 0) * bs,
+        n_dropped=(jnp.maximum(total_b - cap_b, 0) + n_clipped) * bs,
     )
