@@ -171,8 +171,6 @@ def generate_rays_rolling(cam0: Camera, cam1: Camera, config: RenderConfig):
 
     Returns (origins (H, W, 3), dirs (H, W, 3) normalized, valid (H, W)).
     """
-    if config.camera_model == CameraModel.FISHEYE:
-        raise NotImplementedError("rolling shutter: pinhole/opencv only")
     H, Wd = cam0.height, cam0.width
     t = jnp.linspace(0.0, 1.0, H)[:, None]  # (H, 1)
     eye = cam0.eye[None] + t * (cam1.eye - cam0.eye)[None]  # (H, 3)
@@ -190,6 +188,23 @@ def generate_rays_rolling(cam0: Camera, cam1: Camera, config: RenderConfig):
 
     d = pixel_ndc(Wd, H)
     dx, dy = d[..., 0], d[..., 1]  # (H, W)
+    if config.camera_model == CameraModel.FISHEYE:
+        # equisolid mapping (tracer.cuh:136-165) against per-ROW frames
+        r = jnp.sqrt(dx * dx + dy * dy)
+        valid = r <= 1.0
+        f = config.fisheye_focal
+        theta = 2.0 * jnp.arcsin(jnp.clip(r / (2.0 * f), -1.0, 1.0))
+        phi = jnp.arctan2(dy, dx)
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        lx, ly, lz = st * jnp.cos(phi), st * jnp.sin(phi), ct  # (H, W)
+        dirs = (
+            lx[..., None] * -U[:, None, :]
+            + ly[..., None] * -V[:, None, :]
+            + lz[..., None] * W[:, None, :]
+        )
+        dirs = jnp.where(valid[..., None], _normalize(dirs), 0.0)
+        origins = jnp.broadcast_to(eye[:, None, :], dirs.shape)
+        return origins, dirs, valid
     if config.camera_model == CameraModel.OPENCV:
         cu = (jnp.linalg.norm(U, axis=-1) / wlen[:, 0])[:, None]
         cv = (jnp.linalg.norm(V, axis=-1) / wlen[:, 0])[:, None]

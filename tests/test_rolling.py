@@ -52,3 +52,28 @@ class TestRollingShutter:
         a = render_rolling_oracle(scene, c0, c1, cfg)
         b = render_rolling_pallas(scene, c0, c1, cfg)
         assert float(psnr(a["rgb"], b["rgb"])) > 38.0
+
+    def test_fisheye_rows_match_per_row_pose(self):
+        """Fisheye rolling shutter (closes the round-1 capability gap):
+        row identity vs the per-row-pose global-shutter fisheye oracle."""
+        from gaussian_ray_tracing_tpu.config import CameraModel
+
+        scene = random_scene(800, seed=2)
+        c0, c1 = _cams(w=48, h=48)
+        cfg = CFG.replace(camera_model=CameraModel.FISHEYE)
+        rolled = np.asarray(render_rolling_oracle(scene, c0, c1, cfg)["rgb"])
+        H = c0.height
+        for y in (0, H // 2, H - 1):
+            cam_y = lerp_camera(c0, c1, y / (H - 1))
+            ref = np.asarray(render_oracle(scene, cam_y, cfg)["rgb"])
+            np.testing.assert_allclose(rolled[y], ref[y], atol=1e-5)
+
+    def test_fisheye_pallas_path_matches_oracle(self):
+        from gaussian_ray_tracing_tpu.config import CameraModel
+
+        scene = random_scene(800, seed=2)
+        c0, c1 = _cams(w=48, h=48)
+        cfg = CFG.replace(camera_model=CameraModel.FISHEYE, order="window")
+        a = render_rolling_oracle(scene, c0, c1, cfg)
+        b = render_rolling_pallas(scene, c0, c1, cfg)
+        assert float(psnr(a["rgb"], b["rgb"])) > 38.0
