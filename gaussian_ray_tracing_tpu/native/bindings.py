@@ -171,6 +171,76 @@ def morton3d(pos: np.ndarray, lo=None, hi=None) -> np.ndarray:
     )
 
 
+_REF_SO = os.path.join(_DIR, "librefmarch.so")
+_ref_lib: Optional[ctypes.CDLL] = None
+_ref_tried = False
+
+
+def _load_ref() -> Optional[ctypes.CDLL]:
+    """Load (building on demand) the independent C++ re-derivation of the
+    reference march semantics (refmarch.cpp) — the cross-check oracle."""
+    global _ref_lib, _ref_tried
+    if _ref_lib is not None or _ref_tried:
+        return _ref_lib
+    _ref_tried = True
+    src = os.path.join(_DIR, "refmarch.cpp")
+    if not os.path.exists(_REF_SO) or (
+        os.path.getmtime(_REF_SO) < os.path.getmtime(src)
+    ):
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", _REF_SO]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    try:
+        lib = ctypes.CDLL(_REF_SO)
+    except OSError:
+        return None
+    c_i64, c_i32, c_f32 = ctypes.c_int64, ctypes.c_int32, ctypes.c_float
+    p_f32 = ctypes.POINTER(c_f32)
+    lib.grt_ref_render.argtypes = [
+        p_f32, p_f32, p_f32, p_f32, p_f32, c_i64, c_i32,
+        p_f32, p_f32, c_i64, p_f32, p_f32,
+        c_f32, c_f32, c_f32, c_i32, c_i32, p_f32, p_f32,
+    ]
+    lib.grt_ref_render.restype = c_i32
+    _ref_lib = lib
+    return _ref_lib
+
+
+def ref_render_native(scene, origins, dirs, config, t_lo=None, t_hi=None):
+    """Render rays through the C++ reference re-derivation (refmarch.cpp).
+
+    Returns (rgb (R, 3), alpha (R,)) float32, or None when the native
+    library cannot be built. Used only by the cross-validation tests."""
+    lib = _load_ref()
+    if lib is None:
+        return None
+    origins = np.ascontiguousarray(origins, np.float32).reshape(-1, 3)
+    dirs = np.ascontiguousarray(dirs, np.float32).reshape(-1, 3)
+    r = origins.shape[0]
+    cvt = lambda a: np.ascontiguousarray(np.asarray(a), np.float32)
+    means = cvt(scene.means)
+    scales = cvt(scene.scales)
+    quats = cvt(scene.quats)
+    opac = cvt(scene.opacities)
+    sh = cvt(scene.sh)
+    n, K = sh.shape[0], sh.shape[1]
+    lo = np.full(r, config.t_min if t_lo is None else t_lo, np.float32)
+    hi = np.full(r, config.t_max if t_hi is None else t_hi, np.float32)
+    rgb = np.empty((r, 3), np.float32)
+    alpha = np.empty((r,), np.float32)
+    rc = lib.grt_ref_render(
+        _fptr(means), _fptr(scales), _fptr(quats), _fptr(opac), _fptr(sh),
+        n, K, _fptr(origins), _fptr(dirs), r, _fptr(lo), _fptr(hi),
+        config.alpha_min, config.alpha_clamp, config.min_transmittance,
+        config.hit_multiplicity, config.sh_degree, _fptr(rgb), _fptr(alpha),
+    )
+    if rc != 0:
+        return None
+    return rgb, alpha
+
+
 def argsort_u64(keys: np.ndarray) -> np.ndarray:
     keys = np.ascontiguousarray(keys, np.uint64)
     lib = _load()

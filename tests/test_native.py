@@ -86,3 +86,49 @@ class TestNativeMorton:
         keys = rng.integers(0, 1 << 62, size=10_000, dtype=np.uint64)
         perm = B.argsort_u64(keys)
         assert np.all(np.diff(keys[perm].astype(np.uint64)) >= 0)
+
+
+class TestReferenceRederivation:
+    """Cross-validation of the JAX oracle against refmarch.cpp — an
+    INDEPENDENTLY-written sequential C++ implementation of the reference
+    march semantics (shaders/tracer.cuh:328-373). Two implementations in
+    different languages and different formulations (sequential loop vs
+    vectorized cumulative product) agreeing to sub-quantization error pins
+    the oracle transcription the whole parity suite rests on."""
+
+    def _compare(self, hm, min_psnr):
+        import numpy as np
+
+        from gaussian_ray_tracing_tpu.cameras import Camera, generate_rays
+        from gaussian_ray_tracing_tpu.config import RenderConfig
+        from gaussian_ray_tracing_tpu.models.oracle import render_oracle
+        from gaussian_ray_tracing_tpu.native.bindings import ref_render_native
+        from gaussian_ray_tracing_tpu.scene.synthetic import random_scene
+
+        cfg = RenderConfig(hit_multiplicity=hm)
+        scene = random_scene(1500, seed=5)
+        cam = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+                            width=48, height=32)
+        origins, dirs, _ = generate_rays(cam, cfg)
+        got = ref_render_native(scene, np.asarray(origins), np.asarray(dirs), cfg)
+        if got is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        rgb_cpp, alpha_cpp = got
+        ref = render_oracle(scene, cam, cfg)
+        rgb_jax = np.asarray(ref["rgb"]).reshape(-1, 3)
+        rgb_cpp = np.clip(rgb_cpp, 0.0, 1.0)
+        mse = float(np.mean((rgb_cpp - rgb_jax) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr > min_psnr, f"hm={hm}: C++ rederivation vs oracle {psnr:.1f} dB"
+
+    def test_oracle_matches_cpp_rederivation(self):
+        self._compare(1, 60.0)
+
+    def test_oracle_matches_cpp_rederivation_hm2(self):
+        # hm=2: the oracle's closed form 1-(1-a)^2 deviates from the
+        # reference's re-checked double pass only at the single hit where T
+        # crosses min_transmittance (bounded by min_transmittance, below
+        # 8-bit quantization) — still far above 45 dB agreement.
+        self._compare(2, 45.0)
