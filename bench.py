@@ -10,29 +10,144 @@ overhead (tens of ms through tunneled transports, where
 block_until_ready() does not actually block) and any risk of timing
 unexecuted async work.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 vs_baseline is the fraction of the BASELINE.json north-star target of
 1 Grays/s per chip (the reference publishes no numbers of its own,
-BASELINE.md).
+BASELINE.md). "extra" carries secondary rows measured in the same run so
+regressions outside the headline config are visible in BENCH_r*.json:
+fisheye Mrays/s, trained-scene Mrays/s (data/fitted_20k.ply), and the
+full train-step ms (fused forward + hand-written backward + adam).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
+import jax.numpy as jnp
 
 from gaussian_ray_tracing_tpu.cameras import Camera
-from gaussian_ray_tracing_tpu.config import RenderConfig
+from gaussian_ray_tracing_tpu.config import CameraModel, RenderConfig
 from gaussian_ray_tracing_tpu.models.renderer import render
 from gaussian_ray_tracing_tpu.scene.synthetic import random_scene
 
 WIDTH, HEIGHT = 1280, 720
 N_GAUSSIANS = 100_000
-PAIR_CAPACITY = 1_216_000  # scene emits ~1.11M pairs with exact conic
-# bboxes (checked at startup); sort/gather cost scales with capacity
 NORTH_STAR_MRAYS = 1000.0  # 1 Grays/s/chip (BASELINE.json)
+
+
+def _time_loop(frame, k=8, reps=2):
+    """Seconds/frame of `frame(i) -> scalar` via the fori-loop methodology
+    (min over reps; a 1-frame loop's time is subtracted as dispatch)."""
+
+    def loop(n):
+        return jax.jit(
+            lambda: jax.lax.fori_loop(0, n, lambda i, a: a + frame(i), 0.0)
+        )
+
+    fk, f1 = loop(k), loop(1)
+    v = float(fk())  # compile + warm
+    assert v == v, "non-finite output"
+    float(f1())
+    best = float("inf")
+    for _ in range(reps):  # tunnel jitter is strictly additive
+        t0 = time.perf_counter()
+        float(fk())
+        tk = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(f1())
+        t1 = time.perf_counter() - t0
+        best = min(best, max((tk - t1) / (k - 1), 1e-9))
+    return best
+
+
+def _snug_capacity(scene, camera, config, method):
+    """64k-multiple pair-capacity bucket with ~20% slack, verified
+    drop-free (silently dropped pairs would fake a speedup)."""
+    from gaussian_ray_tracing_tpu.models.tiled import default_pair_capacity
+
+    cap = default_pair_capacity(scene.num_gaussians)
+    for _ in range(3):
+        aux = render(scene, camera, config, method=method,
+                     pair_capacity=cap, return_aux=True)["aux"]
+        n = int(aux["n_pairs"])
+        want = -(-int(n * 1.2) // 65536) * 65536
+        if int(aux["n_dropped"]) == 0 and want >= cap:
+            return cap
+        if int(aux["n_dropped"]) == 0:
+            return want
+        cap = max(want, cap * 2)
+    raise AssertionError(f"could not find drop-free capacity: {aux}")
+
+
+def _mrays(scene, camera, config, method, cap):
+    eye0 = jnp.asarray(camera.eye)
+
+    def frame(i):
+        cam = Camera.create(
+            eye=eye0 + jnp.array([0.002, 0.0, 0.0]) * i,
+            lookat=(0.0, 0.0, 0.0),
+            width=camera.width, height=camera.height,
+        )
+        out = render(scene, cam, config, method=method, pair_capacity=cap)
+        return out["rgb"].mean()
+
+    dt = _time_loop(frame)
+    return camera.width * camera.height / dt / 1e6
+
+
+def _train_step_ms(method_is_pallas: bool):
+    """Full train-step time (512x512, 50k gaussians): fused forward +
+    hand-written backward + adam, snug pair bucket (PERF.md methodology)."""
+    from gaussian_ray_tracing_tpu.models.gaussian_model import GaussianModel
+    from gaussian_ray_tracing_tpu.train.trainer import (
+        TrainState,
+        default_optimizer,
+        make_train_step,
+    )
+
+    config = RenderConfig(hit_multiplicity=1, order="key")
+    scene = jax.device_put(random_scene(50_000, seed=1))
+    camera = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+                           width=512, height=512)
+    cap = _snug_capacity(scene, camera, config,
+                         "pallas" if method_is_pallas else "tiled")
+    target = render(scene, camera, config,
+                    method="pallas" if method_is_pallas else "tiled",
+                    pair_capacity=cap)["rgb"]
+    tx = default_optimizer()
+    step = make_train_step(config, tx, use_pallas=method_is_pallas,
+                           pair_capacity=cap)
+    state0 = TrainState.create(GaussianModel.from_scene(scene), tx)
+
+    def k_steps(k):
+        @jax.jit
+        def run():
+            def body(i, s):
+                s2, m = step(s, camera, target)
+                return s2
+            s = jax.lax.fori_loop(0, k, body, state0)
+            return s.params.means.mean()
+        return run
+
+    k = 4
+    fk, f1 = k_steps(k), k_steps(1)
+    v = float(fk())
+    assert v == v
+    float(f1())
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(fk())
+        tk = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(f1())
+        t1 = time.perf_counter() - t0
+        best = min(best, max((tk - t1) / (k - 1), 1e-9))
+    return best * 1e3
 
 
 def main():
@@ -43,7 +158,7 @@ def main():
             if attempt == 2:
                 raise
             print(f"# bench attempt {attempt + 1} failed ({type(e).__name__}); retrying",
-                  file=__import__("sys").stderr)
+                  file=sys.stderr)
 
 
 def _run():
@@ -54,47 +169,45 @@ def _run():
     # below the parity bar. order="key" is faster still at
     # sorted-splatting quality (~30 dB).
     config = RenderConfig(hit_multiplicity=1, order="window", march_chunk=128)
-    method = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    on_tpu = jax.default_backend() == "tpu"
+    method = "pallas" if on_tpu else "tiled"
     scene = jax.device_put(random_scene(N_GAUSSIANS, seed=0))
 
-    # capacity sanity: nothing may be silently dropped at this size
     cam0 = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
                          width=WIDTH, height=HEIGHT)
-    aux = render(scene, cam0, config, method=method,
-                 pair_capacity=PAIR_CAPACITY, return_aux=True)["aux"]
-    assert int(aux["n_dropped"]) == 0, f"pair capacity too small: {aux}"
+    # capacity sanity: nothing may be silently dropped at this size
+    cap = _snug_capacity(scene, cam0, config, method)
+    mrays = _mrays(scene, cam0, config, method, cap)
 
-    def frame(i):
-        camera = Camera.create(
-            eye=(0.002 * i, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
-            width=WIDTH, height=HEIGHT,
+    extra = {}
+    try:  # fisheye row (equisolid, blanked r>1 ring, tracer.cuh:153-161)
+        fcam = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+                             width=768, height=768)
+        fcfg = config.replace(camera_model=CameraModel.FISHEYE)
+        fcap = _snug_capacity(scene, fcam, fcfg, method)
+        extra["fisheye_768_mrays"] = round(
+            _mrays(scene, fcam, fcfg, method, fcap), 2
         )
-        out = render(scene, camera, config, method=method,
-                     pair_capacity=PAIR_CAPACITY)
-        return out["rgb"].mean()
+    except Exception as e:
+        extra["fisheye_768_mrays"] = f"failed: {type(e).__name__}"
+    try:  # trained-scene row (real PLY, lighter pair load than synthetic)
+        ply = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "data", "fitted_20k.ply")
+        if os.path.exists(ply):
+            from gaussian_ray_tracing_tpu.scene.ply import load_ply
 
-    def loop(k):
-        return jax.jit(
-            lambda: jax.lax.fori_loop(0, k, lambda i, a: a + frame(i), 0.0)
-        )
+            tscene = jax.device_put(load_ply(ply))
+            tcap = _snug_capacity(tscene, cam0, config, method)
+            extra["trained_720p_mrays"] = round(
+                _mrays(tscene, cam0, config, method, tcap), 2
+            )
+    except Exception as e:
+        extra["trained_720p_mrays"] = f"failed: {type(e).__name__}"
+    try:  # train-step row (fused fwd + hand-written bwd + adam, 512^2/50k)
+        extra["train_step_512_50k_ms"] = round(_train_step_ms(on_tpu), 2)
+    except Exception as e:
+        extra["train_step_512_50k_ms"] = f"failed: {type(e).__name__}"
 
-    k = 8
-    fk, f1 = loop(k), loop(1)
-    v = float(fk())  # compile + warm
-    float(f1())
-    best = float("inf")
-    for _ in range(2):  # min-of-2: tunnel jitter is strictly additive
-        t0 = time.perf_counter()
-        float(fk())
-        tk = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(f1())
-        t1 = time.perf_counter() - t0
-        best = min(best, max((tk - t1) / (k - 1), 1e-9))
-    dt = best
-
-    mrays = WIDTH * HEIGHT / dt / 1e6
-    assert v == v, "non-finite render output"
     print(
         json.dumps(
             {
@@ -103,6 +216,7 @@ def _run():
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+                "extra": extra,
             }
         )
     )
