@@ -600,26 +600,27 @@ def _bin_pairs_presorted(
     total = offsets[-1] + count[-1] if n else jnp.int32(0)
     first = jnp.minimum(offsets, cap)
 
-    # rank of each slot's owner: scatter-max of rank+1 at heads + cummax
-    # (ranks are increasing along the stream, so the fill is exact)
-    ranks = jnp.arange(n, dtype=jnp.int32)
-    buf = jnp.zeros((cap + 1,), jnp.int32).at[first].max(ranks + 1)
-    gsrc = jax.lax.cummax(buf[:cap]) - 1  # (P,)
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    valid = (slot < jnp.minimum(total, cap)) & (gsrc >= 0)
-
-    # --- per-pair context via head fills (no gathers) ------------------
-    off_pair = _head_fill(first, offsets, cap)
     bx = max(1, (tx_n - 1).bit_length())
     by = max(1, (ty_n - 1).bit_length())
     bsw = max(1, tx_n.bit_length())  # sw can equal tx_n
     if bx + by + bsw > 31:
         raise ValueError(f"tile grid too large to pack: {tx_n}x{ty_n}")
-    packed = _head_fill(
-        first,
-        jax.lax.shift_left(x0, by + bsw) | jax.lax.shift_left(y0, bsw) | sw,
-        cap,
+
+    # --- per-pair context: ONE fused multi-channel head fill -----------
+    # (ops/scan.multi_head_fill: one (N, 3) row scatter + one Pallas pass
+    # over the stream for all three scans — the owner-rank forward fill is
+    # a delta fill too, since ranks are increasing along the stream)
+    from gaussian_ray_tracing_tpu.ops.scan import multi_head_fill
+
+    ranks = jnp.arange(n, dtype=jnp.int32)
+    packedv = jax.lax.shift_left(x0, by + bsw) | jax.lax.shift_left(y0, bsw) | sw
+    rank_f, off_pair, packed = multi_head_fill(
+        first, [ranks + 1, offsets, packedv], cap
     )
+    gsrc = rank_f - 1  # (P,)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    valid = (slot < jnp.minimum(total, cap)) & (gsrc >= 0)
+
     sw_p = packed & ((1 << bsw) - 1)
     y0_p = jax.lax.shift_right_logical(packed, bsw) & ((1 << by) - 1)
     x0_p = jax.lax.shift_right_logical(packed, by + bsw)

@@ -348,3 +348,59 @@ class TestIntersect:
         n = jnp.array([[0.0, 0.0, 1.0]])
         new_d, tir = refract_or_tir(d, n, 1.5 / 1.0003)
         assert bool(tir[0])
+
+
+class TestFusedScan:
+    """ops/scan.py: fused multi-channel int32 prefix sums (MXU hi/lo split)."""
+
+    def test_multi_cumsum_matches_jnp(self):
+        import numpy as np
+
+        from gaussian_ray_tracing_tpu.ops.scan import multi_cumsum_i32
+
+        rng = np.random.default_rng(0)
+        # adversarial values: large magnitudes + wraparound-heavy deltas
+        x = rng.integers(-(2**31), 2**31 - 1, size=(3, 70_000), dtype=np.int64)
+        x = x.astype(np.int32)
+        got = np.asarray(multi_cumsum_i32(jnp.asarray(x), interpret=True))
+        want = np.cumsum(x.astype(np.int64), axis=1).astype(np.int32)  # wraps
+        np.testing.assert_array_equal(got, want)
+
+    def test_multi_head_fill_matches_reference(self):
+        import numpy as np
+
+        from gaussian_ray_tracing_tpu.ops.scan import multi_head_fill
+        from gaussian_ray_tracing_tpu.ops.tiles import _head_fill
+
+        rng = np.random.default_rng(1)
+        n, cap = 500, 4096
+        counts = rng.integers(0, 20, size=n)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+        first = np.minimum(offsets, cap).astype(np.int32)
+        vals = [
+            jnp.asarray(rng.integers(-(2**28), 2**28, size=n, dtype=np.int64).astype(np.int32))
+            for _ in range(3)
+        ]
+        fused = multi_head_fill(jnp.asarray(first), vals, cap, use_kernel=False)
+        for f, v in zip(fused, vals):
+            ref = _head_fill(jnp.asarray(first), v, cap)
+            np.testing.assert_array_equal(np.asarray(f), np.asarray(ref))
+
+    def test_rank_fill_matches_cummax(self):
+        """The owner-rank delta fill equals the old scatter-max + cummax."""
+        import numpy as np
+
+        from gaussian_ray_tracing_tpu.ops.scan import multi_head_fill
+
+        rng = np.random.default_rng(2)
+        n, cap = 300, 2048
+        counts = rng.integers(0, 12, size=n)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+        first = np.minimum(offsets, cap).astype(np.int32)
+        ranks = np.arange(n, dtype=np.int32)
+        (got,) = multi_head_fill(jnp.asarray(first), [jnp.asarray(ranks + 1)], cap,
+                                 use_kernel=False)
+        buf = np.zeros(cap + 1, np.int32)
+        np.maximum.at(buf, first, ranks + 1)
+        want = np.maximum.accumulate(buf[:cap])
+        np.testing.assert_array_equal(np.asarray(got), want)
