@@ -384,15 +384,39 @@ def cmd_serve(args):
 
 
 def cmd_eval(args):
-    """PSNR of scene B (e.g. a fit) against scene A over orbit poses."""
+    """PSNR of scene B (e.g. a fit) against scene A over orbit poses, or —
+    with --dataset — against a NeRF-synthetic dataset's HELD-OUT split
+    (the standard novel-view-synthesis evaluation)."""
     from gaussian_ray_tracing_tpu.cameras import orbit_camera
     from gaussian_ray_tracing_tpu.config import RenderConfig
     from gaussian_ray_tracing_tpu.models.renderer import render
     from gaussian_ray_tracing_tpu.scene.ply import load_ply
     from gaussian_ray_tracing_tpu.utils.image import psnr
 
-    cfg = RenderConfig(hit_multiplicity=1, order="key",
+    # parity-grade ordering: key order's ~30 dB ordering noise would cap
+    # the measurable fit quality below the scores being evaluated
+    cfg = RenderConfig(hit_multiplicity=1, order="window", march_chunk=128,
                        sh_degree=args.sh_degree)
+    if getattr(args, "dataset", None):
+        from gaussian_ray_tracing_tpu.scene.dataset import load_nerf_synthetic
+
+        views, _meta = load_nerf_synthetic(
+            args.dataset, split=args.split, downscale=args.downscale,
+        )
+        b = load_ply(args.against)
+        scores = []
+        for cam, img in views:
+            rb = np.asarray(render(b, cam, cfg)["rgb"])
+            scores.append(float(psnr(np.asarray(img), rb)))
+        print(json.dumps({
+            "psnr_mean": round(float(np.mean(scores)), 2),
+            "psnr_min": round(float(np.min(scores)), 2),
+            "views": len(scores),
+            "split": args.split,
+            "dataset": args.dataset,
+            "against": args.against,
+        }))
+        return
     a = load_ply(args.ply)
     b = load_ply(args.against)
     c = np.asarray(a.center())
@@ -536,9 +560,17 @@ def main(argv=None):
     _add_scene_args(p); _add_camera_args(p)
     p.set_defaults(fn=cmd_info)
 
-    p = sub.add_parser("eval", help="PSNR between two PLY scenes over poses")
-    p.add_argument("-p", "--ply", type=str, required=True, help="reference PLY")
+    p = sub.add_parser(
+        "eval",
+        help="PSNR of a PLY vs a reference PLY over poses, or vs a "
+        "dataset's held-out split (--dataset)",
+    )
+    p.add_argument("-p", "--ply", type=str, default=None, help="reference PLY")
     p.add_argument("--against", type=str, required=True, help="candidate PLY")
+    p.add_argument("--dataset", type=str, default=None,
+                   help="NeRF-synthetic root: evaluate against its images")
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--downscale", type=int, default=1)
     p.add_argument("--poses", type=int, default=6)
     p.add_argument("--radius", type=float, default=2.8)
     p.add_argument("--width", type=int, default=256)
