@@ -63,6 +63,14 @@ def _add_render_args(p: argparse.ArgumentParser):
     p.add_argument("--supersample", type=int, default=1,
                    help="N: trace NxN rays per pixel and box-filter "
                         "(anti-aliasing; the reference traces 1/pixel)")
+    p.add_argument("--order", choices=["window", "merge", "key"],
+                   default=None,
+                   help="per-ray compositing order: window = in-chunk sort "
+                        "(default), merge = cross-chunk streaming merge "
+                        "(higher quality per chunk width), key = raw "
+                        "stream order (fastest, sorted-splatting grade)")
+    p.add_argument("--march-chunk", type=int, default=None,
+                   help="march chunk / ordering window width (default 128)")
 
 
 def _build(args):
@@ -92,6 +100,10 @@ def _build(args):
         camera_model=model,
         distortion=distortion,
     )
+    if getattr(args, "order", None):
+        cfg = cfg.replace(order=args.order)
+    if getattr(args, "march_chunk", None):
+        cfg = cfg.replace(march_chunk=args.march_chunk)
     tracer = GaussianRayTracer(scene=scene, config=cfg)
     tracer.set_size(args.width, args.height)
     center = np.asarray(scene.center())

@@ -106,6 +106,15 @@ class RenderConfig:
     order: str = "window"
     # Number of odd-even compare-exchange passes for order="oddeven".
     window_passes: int = 16
+    # Per-ray ordering key inside the window sort: "event" = the oracle's
+    # iso-ellipsoid entry/exit t (tracer.cu:124-153 k-buffer semantics);
+    # "peak" = the max-response t* along the ray — needs no sqrt/divide in
+    # the march (t* = -od/dd is already computed for the response) but is
+    # quality-DEAD vs the reference semantics (~25 dB at 96x64: the oracle
+    # composites in event order, and t* ordering genuinely diverges where
+    # anisotropic tails overlap). Keep "event" for anything parity-grade;
+    # "peak" exists for speed experiments only.
+    window_key: str = "event"
     # Pair sort keys: "gaussian" (default) = one shared per-gaussian depth
     # key (the iso-ellipsoid entry t along the eye->center ray). Measured
     # BEST: per-pair keys along each pair's own tile central ray — whether
@@ -123,6 +132,13 @@ class RenderConfig:
     # iso-ellipsoid test) and strictly tighter, so every downstream stage
     # sees fewer (tile, gaussian) pairs. Zero per-pair cost.
     exact_bbox: bool = True
+    # Per-pair projected-conic vs tile-rect cull in the pair expansion
+    # (pinhole only): drops bbox-corner tiles the gaussian's exact hit
+    # conic cannot touch. Conservative by construction — a pair is culled
+    # only when max over the tile's NDC rect of the line-hit quadratic is
+    # provably below the alpha_min level set the march gates on, so the
+    # rendered image is unchanged while the march skips the dead pairs.
+    conic_cull: bool = True
     # Compute/composite dtype for the fast path ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Use the fused Pallas kernel for the per-tile march (False = pure-JAX path).

@@ -196,7 +196,8 @@ def march_tile_chunk(
             # local and k passes fix displacements up to k (this is the
             # scheme the Pallas kernel uses; exposed here for parity tests
             # and quality/cost tuning).
-            sort_key = jnp.where(valid, t_event, jnp.inf)
+            order_t = t_star if config.window_key == "peak" else t_event
+            sort_key = jnp.where(valid, order_t, jnp.inf)
             if config.order == "oddeven":
                 perm = _oddeven_perm(sort_key, config.window_passes)
             else:

@@ -96,9 +96,9 @@ def _running_max_excl(x: jnp.ndarray, cand_idx: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def _bitonic_sort(key, payloads, c: int):
-    """Ascending per-lane bitonic sort of (c, R) arrays along the candidate
-    axis, carrying a tuple of payload arrays (any dtype — payloads are only
+def _bitonic_sort(key, payloads, c: int, ascending: bool = True):
+    """Per-lane bitonic sort of (c, R) arrays along the candidate axis,
+    carrying a tuple of payload arrays (any dtype — payloads are only
     rolled + selected, never compared). XOR-partner exchanges are expressed
     as two sublane rolls + selects (no per-lane addressing exists on TPU)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
@@ -106,6 +106,8 @@ def _bitonic_sort(key, payloads, c: int):
     payloads = tuple(payloads)
     for k in range(1, n_lv + 1):
         desc = (idx & (1 << k)) != 0  # (c, 1) merge direction
+        if not ascending:
+            desc = ~desc
         for j in reversed(range(k)):
             d = 1 << j
             hi = (idx & d) != 0
@@ -120,6 +122,41 @@ def _bitonic_sort(key, payloads, c: int):
                 jnp.where(take, rp, p) for rp, p in zip(rolled, payloads)
             )
     return key, payloads
+
+
+def _bitonic_merge(key, payloads, n: int):
+    """Ascending merge of a BITONIC (n, R) sequence (e.g. an ascending
+    half concatenated with a descending half): the final level of the
+    bitonic network alone — log2(n) exchange stages instead of a full
+    sort's log^2."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    payloads = tuple(payloads)
+    for j in reversed(range(n.bit_length() - 1)):
+        d = 1 << j
+        hi = (idx & d) != 0
+        pk = jnp.where(hi, _roll(key, d), _roll(key, -d))
+        rolled = tuple(
+            jnp.where(hi, _roll(p, d), _roll(p, -d)) for p in payloads
+        )
+        take = (pk < key) == ~hi  # keep min in the low partner
+        key = jnp.where(take, pk, key)
+        payloads = tuple(
+            jnp.where(take, rp, p) for rp, p in zip(rolled, payloads)
+        )
+    return key, payloads
+
+
+def _running_max_excl_i32(x: jnp.ndarray, cand_idx: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive running max along the candidate axis for int32 (identity
+    INT32_MIN); same Hillis-Steele doubling as _running_max_excl."""
+    c = x.shape[0]
+    nmin = jnp.iinfo(jnp.int32).min
+    y = jnp.where(cand_idx >= 1, _roll(x, 1), nmin)
+    d = 1
+    while d < c:
+        y = jnp.maximum(y, jnp.where(cand_idx >= d + 1, _roll(y, d), nmin))
+        d *= 2
+    return y
 
 
 def _march_kernel(
@@ -141,16 +178,18 @@ def _march_kernel(
     block_mode: bool,
     save_tin: bool,
     quad: bool,
+    full_range: bool = False,
 ):
     rest = list(rest)
     orig_ref = rest.pop(0) if per_ray_origin else None
     out_ref = rest.pop(0)
     tin_hbm = rest.pop(0) if save_tin else None
-    if save_tin:
-        acc, fbuf, sems, tin_sem = rest
-    else:
-        acc, fbuf, sems = rest
-        tin_sem = None
+    merge = config.order == "merge"
+    acc = rest.pop(0)
+    fbuf = rest.pop(0)
+    sems = rest.pop(0)
+    tin_sem = rest.pop(0) if save_tin else None
+    pend_k, pend_a, pend_c = rest if merge else (None, None, None)
     t = pl.program_id(0)
     start = starts_ref[t]
     n = starts_ref[t + 1] - start
@@ -178,6 +217,83 @@ def _march_kernel(
     K = num_coeffs(sh_deg)
     # list of K (1, R) arrays: layout-free per-ray basis values
     basis = sh_basis_list(dx, dy, dz, sh_deg) if sh_deg > 0 else None
+
+    minT = config.min_transmittance
+
+    def _composite_with(t_carry, a_ord, colors_ord):
+        """Front-to-back composite of (already correctly ordered) alphas:
+        exclusive prefix product on the bf16-split MXU (ops/composite.py
+        equivalence), early-termination freeze (shaders/tracer.cuh:341),
+        per-channel radiance. Returns (rgb_part (3, R), t_next (1, R))."""
+        logp = jnp.log1p(-a_ord)
+        s_excl = _tri_dot(tri, logp)  # (c, R)
+        p_excl = t_carry * jnp.exp(s_excl)
+        p_incl = p_excl * (1.0 - a_ord)
+        w = a_ord * p_excl * (p_excl > minT)
+
+        # sequential early-termination semantics (ops/composite.py):
+        # the first candidate (in composite order) driving p below
+        # minT freezes the carry — that p is the MAX of the below set
+        below = p_incl <= minT
+        frozen = jnp.max(
+            jnp.where(below, p_incl, -jnp.inf), axis=0, keepdims=True
+        )
+        p_last = t_carry * jnp.exp(
+            jnp.sum(logp, axis=0, keepdims=True)
+        )  # full-chunk product: order-free
+        t_next = jnp.where(
+            jnp.any(below, axis=0, keepdims=True), frozen, p_last
+        )
+
+        if colors_ord[0].shape == (c, 1):
+            # per-candidate color columns: ONE MXU (3, c) @ (c, R)
+            cols = jnp.concatenate(colors_ord, axis=1)  # (c, 3)
+            rgb_part = jax.lax.dot_general(
+                cols, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (3, R)
+        else:
+            rgb_part = jnp.concatenate(
+                [
+                    jnp.sum(w * colors_ord[ch], axis=0, keepdims=True)
+                    for ch in range(3)
+                ],
+                axis=0,
+            )
+        return rgb_part, t_next
+
+    def _pack_colors(colors):
+        """3 x (c, 1)|(c, R) colors in [0, 4) -> (c, R) int32, 3x10 bits
+        (1/256 steps; output is RGB8-quantized anyway, tracer.cuh:484)."""
+        q = lambda x: jnp.clip(x * 255.75, 0.0, 1023.0).astype(jnp.int32)
+        cp = (
+            jax.lax.shift_left(q(colors[0]), 20)
+            | jax.lax.shift_left(q(colors[1]), 10)
+            | q(colors[2])
+        )
+        return jnp.broadcast_to(cp, (c, R))
+
+    def _unpack_colors(cp):
+        unq = lambda x: x.astype(f32) * (1.0 / 255.75)
+        mask10 = jnp.int32(1023)
+        return [
+            unq(jax.lax.shift_right_logical(cp, 20) & mask10),
+            unq(jax.lax.shift_right_logical(cp, 10) & mask10),
+            unq(cp & mask10),
+        ]
+
+    if merge:
+        # pending buffer: the deferred (largest-key) half of the running
+        # cross-chunk merge, per tile. Empty slots carry INT32_MIN so they
+        # sort FIRST and are drained through the (zero-alpha-harmless)
+        # ready half — with INT32_MAX empties the first merging step would
+        # composite the whole real chunk and keep the pipeline empty,
+        # collapsing the scheme to plain window/c ordering. Real keys are
+        # bitcasts of nonnegative floats (>= 0 > INT32_MIN), so empties
+        # never collide with candidates.
+        pend_k[...] = jnp.full((c, R), jnp.iinfo(jnp.int32).min, jnp.int32)
+        pend_a[...] = jnp.zeros((c, R), f32)
+        pend_c[...] = jnp.zeros((c, R), jnp.int32)
 
     if quad:
         # per-tile MXU RHS panels for the quadratic-form response: with
@@ -254,19 +370,40 @@ def _march_kernel(
                 pp = oo_b + od * t_star  # oo - od^2/dd
                 resp = jnp.exp(-0.5 * jnp.maximum(pp, 0.0))
                 alpha = jnp.minimum(config.alpha_clamp, resp * op)
-                disc = od * od - dd * cq
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                inv_dd = 1.0 / jnp.maximum(dd, 1e-12)
-                t_entry = (-od - sq) * inv_dd
-                t_exit = (-od + sq) * inv_dd
-                t_event = jnp.where(t_entry < t_lo, t_exit, t_entry)
-                in_window = (t_event >= t_lo) & (t_event <= t_hi)
-                # disc >= 0 is implied by alpha > alpha_min (the adaptive
-                # radius is the alpha_min iso-surface: resp*op > alpha_min
-                # <=> pp < rad^2 <=> disc > 0), so the gate drops it
-                gate = (
-                    present & in_window & live & (alpha > config.alpha_min)
+                # sqrt/div-free event math when the ordering key doesn't
+                # need the entry t: the ray's [t_lo, inf) window intersects
+                # the iso ellipsoid iff the convex quadratic q(t) =
+                # |o_g + t d_g|^2 - rad^2 is negative at max(t_lo, t*) —
+                # i.e. (t* >= t_lo and alpha > alpha_min) or q(t_lo) < 0.
+                # Exact vs the oracle's entry/exit rule whenever no
+                # ellipsoid reaches past t_hi = t_max = 1e5 (full-range
+                # primary marches only; scene extents are ~10).
+                fast_gate = full_range and (
+                    config.order == "key" or config.window_key == "peak"
                 )
+                if fast_gate:
+                    q_lo = cq + t_lo * (2.0 * od + t_lo * dd)
+                    gate = (
+                        present & live & (alpha > config.alpha_min)
+                        & ((t_star >= t_lo) | (q_lo < 0.0))
+                    )
+                    t_event = t_star  # ordering key (window_key == "peak")
+                else:
+                    disc = od * od - dd * cq
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    inv_dd = 1.0 / jnp.maximum(dd, 1e-12)
+                    t_entry = (-od - sq) * inv_dd
+                    t_exit = (-od + sq) * inv_dd
+                    t_event = jnp.where(t_entry < t_lo, t_exit, t_entry)
+                    in_window = (t_event >= t_lo) & (t_event <= t_hi)
+                    # disc >= 0 is implied by alpha > alpha_min (the
+                    # adaptive radius is the alpha_min iso-surface:
+                    # resp*op > alpha_min <=> pp < rad^2 <=> disc > 0),
+                    # so the gate drops it
+                    gate = (
+                        present & in_window & live
+                        & (alpha > config.alpha_min)
+                    )
             else:
                 rad = col(_RAD)
 
@@ -337,52 +474,79 @@ def _march_kernel(
                         acc_c += basis[k] * col(_SH0 + ch * K + k)
                     colors.append(jnp.maximum(acc_c, 0.0))  # (c, R)
 
-            minT = config.min_transmittance
+            _composite = functools.partial(_composite_with, t_carry)
+            # per-ray ordering key (config.window_key): the oracle's event
+            # t, or the peak-response t* (no extra math — t* is already
+            # computed for the response)
+            t_key = t_star if config.window_key == "peak" else t_event
 
-            def _composite(a_ord, colors_ord):
-                """Front-to-back composite of (already correctly ordered)
-                alphas: exclusive prefix product on the bf16-split MXU
-                (ops/composite.py equivalence), early-termination freeze
-                (shaders/tracer.cuh:341), per-channel radiance. Returns
-                (rgb_part (3, R), t_next (1, R))."""
-                logp = jnp.log1p(-a_ord)
-                s_excl = _tri_dot(tri, logp)  # (c, R)
-                p_excl = t_carry * jnp.exp(s_excl)
-                p_incl = p_excl * (1.0 - a_ord)
-                w = a_ord * p_excl * (p_excl > minT)
-
-                # sequential early-termination semantics (ops/composite.py):
-                # the first candidate (in composite order) driving p below
-                # minT freezes the carry — that p is the MAX of the below set
-                below = p_incl <= minT
-                frozen = jnp.max(
-                    jnp.where(below, p_incl, -jnp.inf), axis=0, keepdims=True
+            if merge:
+                # ---- cross-chunk streaming merge (parity-grade ordering
+                # at half the window-sort width): keep the c largest-key
+                # candidates seen so far PENDING; each chunk is sorted
+                # descending, bitonic-merged with the pending buffer, and
+                # only the smallest c of the union are composited now.
+                # Inversions up to ~2 chunks wide are repaired exactly
+                # (vs ~1 chunk for order="window" at the same c).
+                # Key: bitcast of the (nonnegative) order t with the low 8
+                # mantissa bits replaced by the source index — globally
+                # comparable across chunks (unlike the window sort's
+                # per-chunk quantization) and unique within a chunk so the
+                # networks are true permutations. Zero-alpha candidates
+                # inherit their significant predecessor's key (running
+                # max), so "chunk already ordered" reduces to the
+                # significant subsequence being ordered.
+                kb = jax.lax.bitcast_convert_type(
+                    jnp.maximum(t_key, 0.0), jnp.int32
+                ) & jnp.int32(~0xFF)
+                src = jax.lax.broadcasted_iota(jnp.int32, (c, R), 0)
+                imin = jnp.iinfo(jnp.int32).min
+                gated = jnp.where(a > 0.0, kb, imin)
+                rmax = _running_max_excl_i32(gated, cand_idx)
+                ikey = jnp.where(a > 0.0, kb, rmax) | src
+                has_inv = jnp.any((a > 0.0) & (kb < rmax))
+                pk0 = pend_k[...]
+                pa0 = pend_a[...]
+                pc0 = pend_c[...]
+                # chunk-vs-pending order: compare significant keys only
+                new_min = jnp.min(
+                    jnp.where(a > 0.0, kb, jnp.iinfo(jnp.int32).max),
+                    axis=0, keepdims=True,
                 )
-                p_last = t_carry * jnp.exp(
-                    jnp.sum(logp, axis=0, keepdims=True)
-                )  # full-chunk product: order-free
-                t_next = jnp.where(
-                    jnp.any(below, axis=0, keepdims=True), frozen, p_last
+                pend_max = jnp.max(
+                    jnp.where(pa0 > 0.0, pk0, imin), axis=0, keepdims=True
                 )
+                fast_ok = (~has_inv) & jnp.all(new_min >= pend_max)
 
-                if colors_ord[0].shape == (c, 1):
-                    # per-candidate color columns: ONE MXU (3, c) @ (c, R)
-                    cols = jnp.concatenate(colors_ord, axis=1)  # (c, 3)
-                    rgb_part = jax.lax.dot_general(
-                        cols, w, (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )  # (3, R)
-                else:
-                    rgb_part = jnp.concatenate(
-                        [
-                            jnp.sum(w * colors_ord[ch], axis=0, keepdims=True)
-                            for ch in range(3)
-                        ],
-                        axis=0,
+                cpack = _pack_colors(colors)
+                a_bc = jnp.broadcast_to(a, (c, R))
+
+                def _fast(k_n, a_n, c_n, pk, pa, pc):
+                    # new chunk is ordered and entirely behind the pending
+                    # buffer: pending is ready as-is, chunk becomes pending
+                    return (pk, pa, pc), (k_n, a_n, c_n)
+
+                def _slow(k_n, a_n, c_n, pk, pa, pc):
+                    kd, (ad, cd) = _bitonic_sort(
+                        k_n, (a_n, c_n), c, ascending=False
                     )
-                return rgb_part, t_next
+                    mk = jnp.concatenate([pk, kd], axis=0)
+                    ma = jnp.concatenate([pa, ad], axis=0)
+                    mc2 = jnp.concatenate([pc, cd], axis=0)
+                    mk, (ma, mc2) = _bitonic_merge(mk, (ma, mc2), 2 * c)
+                    return (
+                        (mk[:c], ma[:c], mc2[:c]),
+                        (mk[c:], ma[c:], mc2[c:]),
+                    )
 
-            if config.order == "window":
+                ready, newpend = jax.lax.cond(
+                    fast_ok, _fast, _slow, ikey, a_bc, cpack, pk0, pa0, pc0
+                )
+                pend_k[...], pend_a[...], pend_c[...] = newpend
+                rgb_part, t_next = _composite(
+                    ready[1], _unpack_colors(ready[2])
+                )
+            elif config.order == "window":
                 # Bounded-window exact ordering (tracer.cu:124-153 k-buffer
                 # semantics at window width c): per-ray bitonic sort of the
                 # chunk by exact event t — SKIPPED when the significant
@@ -392,9 +556,9 @@ def _march_kernel(
                 # an adjacent-pair test, which both misses inversions
                 # straddling gated-out candidates and fires spuriously when
                 # any gated-out candidate precedes a real hit.
-                sig_t = jnp.where(a > 0.0, t_event, -jnp.inf)
+                sig_t = jnp.where(a > 0.0, t_key, -jnp.inf)
                 rmax = _running_max_excl(sig_t, cand_idx)
-                has_inv = jnp.any((a > 0.0) & (t_event < rmax))
+                has_inv = jnp.any((a > 0.0) & (t_key < rmax))
 
                 def _sorted_branch(a_, t_event_):
                     # pack (paid only when the network runs). The key is
@@ -420,31 +584,16 @@ def _march_kernel(
                     skey = jnp.where(
                         a_ > 0.0, jax.lax.shift_left(tq, 8), zbase
                     ) | src
-                    q = lambda x: jnp.clip(x * 255.75, 0.0, 1023.0).astype(
-                        jnp.int32
-                    )
-                    cpack = (
-                        jax.lax.shift_left(q(colors[0]), 20)
-                        | jax.lax.shift_left(q(colors[1]), 10)
-                        | q(colors[2])
-                    )
-                    cpack = jnp.broadcast_to(cpack, (c, R))
+                    cpack = _pack_colors(colors)
                     apay = jnp.broadcast_to(a_, (c, R))
                     _, (cpack, a_s) = _bitonic_sort(skey, (cpack, apay), c)
-                    unq = lambda x: x.astype(f32) * (1.0 / 255.75)
-                    mask10 = jnp.int32(1023)
-                    colors_s = [
-                        unq(jax.lax.shift_right_logical(cpack, 20) & mask10),
-                        unq(jax.lax.shift_right_logical(cpack, 10) & mask10),
-                        unq(cpack & mask10),
-                    ]
-                    return _composite(a_s, colors_s)
+                    return _composite(a_s, _unpack_colors(cpack))
 
                 rgb_part, t_next = jax.lax.cond(
                     has_inv,
                     _sorted_branch,
                     lambda a_, t_: _composite(a_, colors),
-                    a, t_event,
+                    a, t_key,
                 )
             else:
                 rgb_part, t_next = _composite(a, colors)
@@ -455,6 +604,16 @@ def _march_kernel(
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+
+    if merge:
+        # flush the pending buffer (ascending-sorted; empty slots carry
+        # a = 0 and contribute nothing)
+        t_carry = acc[3:4, :]
+        rgb_part, t_next = _composite_with(
+            t_carry, pend_a[...], _unpack_colors(pend_c[...])
+        )
+        acc[3:4, :] = jnp.where(t_carry > minT, t_next, t_carry)
+        acc[0:3, :] = acc[0:3, :] + rgb_part
 
     out_ref[0] = acc[:]
 
@@ -553,9 +712,10 @@ def pallas_march_stream(
 
     if quad and per_ray_origin:
         raise ValueError("quad response columns assume a shared ray origin")
-    if config.order == "window" and chunk > 256:
+    if config.order in ("window", "merge") and chunk > 256:
         raise ValueError(
-            "window order packs the source index in 8 key bits: chunk <= 256"
+            "window/merge order packs the source index in 8 key bits: "
+            "chunk <= 256"
         )
     kernel = functools.partial(
         _march_kernel,
@@ -566,6 +726,10 @@ def pallas_march_stream(
         block_mode=block_mode,
         save_tin=save_tin,
         quad=quad,
+        # whole-ray marches ([t_min, t_max] windows, no segment chaining):
+        # the kernel may use the sqrt/div-free hit test
+        full_range=(t_lo is None and t_hi is None and not block_mode
+                    and not per_ray_origin),
     )
     out_specs = pl.BlockSpec(
         (1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -583,6 +747,13 @@ def pallas_march_stream(
             jax.ShapeDtypeStruct((chunk_cap, 8, R), jnp.float32),
         )
         scratch = scratch + [pltpu.SemaphoreType.DMA(())]
+    if config.order == "merge":
+        # cross-chunk pending buffer (key, alpha, packed colors)
+        scratch = scratch + [
+            pltpu.VMEM((chunk, R), jnp.int32),
+            pltpu.VMEM((chunk, R), jnp.float32),
+            pltpu.VMEM((chunk, R), jnp.int32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_tiles,),
@@ -765,12 +936,14 @@ def _march_bwd_kernel(
                 # per-candidate color grads reconstruct from the per-RAY
                 # cotangent as dR[ch] * w. Alpha is an exact float payload;
                 # the 10-bit color pack is differentiated straight-through.
-                gated_t = jnp.where(a > 0.0, t_event, jnp.inf)
+                # same ordering key as the forward (config.window_key)
+                t_key = t_star if config.window_key == "peak" else t_event
+                gated_t = jnp.where(a > 0.0, t_key, jnp.inf)
                 t_min_c = jnp.min(gated_t)
-                t_max_c = jnp.max(jnp.where(a > 0.0, t_event, -jnp.inf))
+                t_max_c = jnp.max(jnp.where(a > 0.0, t_key, -jnp.inf))
                 t_rng = jnp.maximum(t_max_c - t_min_c, 1e-20)
                 tq = jnp.clip(
-                    (t_event - t_min_c) * (65534.0 / t_rng), 0.0, 65534.0
+                    (t_key - t_min_c) * (65534.0 / t_rng), 0.0, 65534.0
                 ).astype(jnp.int32)
                 src = jax.lax.broadcasted_iota(jnp.int32, (c, R), 0)
                 zbase = jnp.int32(65535 << 8)
@@ -787,9 +960,9 @@ def _march_bwd_kernel(
                 apay = jnp.broadcast_to(a, (c, R))
                 # MUST match the forward's skip decision bit-exactly: same
                 # significance-gated running-max test on the same inputs
-                sig_t = jnp.where(a > 0.0, t_event, -jnp.inf)
+                sig_t = jnp.where(a > 0.0, t_key, -jnp.inf)
                 rmax = _running_max_excl(sig_t, cand_idx)
-                has_inv = jnp.any((a > 0.0) & (t_event < rmax))
+                has_inv = jnp.any((a > 0.0) & (t_key < rmax))
                 skey_s, (cpack_s, a_s) = jax.lax.cond(
                     has_inv,
                     lambda k, p: _bitonic_sort(k, p, c),
@@ -1003,6 +1176,11 @@ def march_stream_diff(
     reverse-sweep kernel producing d(pair_feats) (BASELINE north star: fused kernels with
     a hand-written backward for means/covariance/opacity/SH — the feature
     rows carry exactly those)."""
+    if config.order == "merge":
+        raise ValueError(
+            "order='merge' is a forward-render optimization; train with "
+            "order='window' or 'key' (the backward kernel replays those)"
+        )
     rgb, t_final = pallas_march_stream(
         starts, eye, pair_feats, dirs_t, config,
         n_tiles=n_tiles, rays_per_tile=rays_per_tile, chunk=chunk,

@@ -87,12 +87,12 @@ def _scan_kernel(x_ref, o_ref, carry, *, C: int, bs: int):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def multi_cumsum_i32(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """Inclusive prefix sum of int32 (C, P) along axis 1, C <= 8.
+    """Inclusive prefix sum of int32 (C, P) along axis 1, C <= 16.
 
     One fused HBM pass for all channels; exact under int32 wraparound."""
     C, P = x.shape
-    if C > 8:
-        raise ValueError(f"at most 8 channels, got {C}")
+    if C > 16:
+        raise ValueError(f"at most 16 channels, got {C}")
     blk = _BS * 128
     pad = (-P) % blk
     xp = jnp.pad(x, ((0, 0), (0, pad)))
@@ -108,7 +108,7 @@ def multi_cumsum_i32(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
         out_specs=pl.BlockSpec((C, _BS, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, nb * _BS, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.int32)],
         interpret=interpret,
     )(xp)
     return out.reshape(C, -1)[:, :P]

@@ -28,6 +28,7 @@ tile.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -532,6 +533,105 @@ def _tile_rects(fp: Footprint, camera: Camera, config: RenderConfig,
     return x0, y0, sw, count
 
 
+def projection_conics(geom: tuple, camera: Camera):
+    """Per-gaussian homogeneous quadratic G of the exact hit conic in NDC.
+
+    With the unit-sphere canonical map Mt = (S^-1 R^T)/radius (the iso
+    surface where response*opacity = alpha_min maps to |x| = 1), a primary
+    ray of NDC coords k = (kx, ky) has direction d(k) = kx*(-U) + ky*(-V)
+    + W (cameras.generate_rays), and the LINE through the eye hits the iso
+    ellipsoid iff
+
+        q(k) = (o.d~)^2 - (|o|^2 - 1)|d~|^2 >= 0,   d~ = Mt d(k),
+               o = Mt (eye - mu)
+
+    which is a quadratic form q(k) = khat^T G khat in khat = (kx, ky, 1):
+    exactly the march kernel's disc >= 0 gate (ops/pallas_march.py), i.e.
+    exactly `max response along the ray > alpha_min` (tracer.cuh:187-214 +
+    the :361 alpha_min cutoff). G is valid for every gaussian (eye inside
+    the ellipsoid makes q > 0 everywhere — nothing is ever culled).
+
+    Returns six (N,) float32 columns (g00, g01, g11, g02, g12, g22),
+    normalized per-gaussian to unit max-abs for f32 headroom.
+    """
+    means, M9, radius = geom
+    eye = camera.eye
+    U, V, W = camera.uvw_frame()
+    rs = 1.0 / jnp.maximum(radius, 1e-12)
+    Mt = M9 * rs[:, None]  # (N, 9) rows of (S^-1 R^T)/radius
+
+    def mdot(vx, vy, vz):
+        return (
+            Mt[:, 0] * vx + Mt[:, 1] * vy + Mt[:, 2] * vz,
+            Mt[:, 3] * vx + Mt[:, 4] * vy + Mt[:, 5] * vz,
+            Mt[:, 6] * vx + Mt[:, 7] * vy + Mt[:, 8] * vz,
+        )
+
+    o1, o2, o3 = mdot(
+        eye[0] - means[:, 0], eye[1] - means[:, 1], eye[2] - means[:, 2]
+    )
+    au = mdot(-U[0], -U[1], -U[2])
+    av = mdot(-V[0], -V[1], -V[2])
+    aw = mdot(W[0], W[1], W[2])
+    lam = o1 * o1 + o2 * o2 + o3 * o3 - 1.0
+    dot = lambda a, b: a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+    o = (o1, o2, o3)
+    s_u, s_v, s_w = dot(au, o), dot(av, o), dot(aw, o)
+    g00 = s_u * s_u - lam * dot(au, au)
+    g01 = s_u * s_v - lam * dot(au, av)
+    g11 = s_v * s_v - lam * dot(av, av)
+    g02 = s_u * s_w - lam * dot(au, aw)
+    g12 = s_v * s_w - lam * dot(av, aw)
+    g22 = s_w * s_w - lam * dot(aw, aw)
+    gmax = functools.reduce(
+        jnp.maximum, [jnp.abs(g) for g in (g00, g01, g11, g02, g12, g22)]
+    )
+    sc = 1.0 / jnp.maximum(gmax, 1e-30)
+    return tuple(g * sc for g in (g00, g01, g11, g02, g12, g22))
+
+
+def _conic_rect_cull(gc, kx0, kx1, ky0, ky1):
+    """True where the pair is PROVABLY dead: max of q over the NDC rect
+    [kx0,kx1]x[ky0,ky1] < 0 (no ray through the tile can clear alpha_min).
+
+    The max of a 2D quadratic over a box is attained at a corner, an edge
+    critical point, or the interior critical point; every candidate below
+    is clamped into the rect, so the running max never exceeds the true
+    max (sound), and the candidate set contains every possible argmax
+    (complete). NaNs keep the pair (comparisons with NaN are False)."""
+    g00, g01, g11, g02, g12, g22 = gc
+
+    def q(x, y):
+        return (
+            (g00 * x + 2.0 * g01 * y + 2.0 * g02) * x
+            + (g11 * y + 2.0 * g12) * y
+            + g22
+        )
+
+    m = q(kx0, ky0)
+    m = jnp.maximum(m, q(kx0, ky1))
+    m = jnp.maximum(m, q(kx1, ky0))
+    m = jnp.maximum(m, q(kx1, ky1))
+    # edge criticals (denominator forced negative: a convex edge direction
+    # lands on an endpoint after the clamp, which corners already cover)
+    den_y = jnp.minimum(g11, -1e-30)
+    for x in (kx0, kx1):
+        ys = jnp.clip(-(g01 * x + g12) / den_y, ky0, ky1)
+        m = jnp.maximum(m, q(x, ys))
+    den_x = jnp.minimum(g00, -1e-30)
+    for y in (ky0, ky1):
+        xs = jnp.clip(-(g01 * y + g02) / den_x, kx0, kx1)
+        m = jnp.maximum(m, q(xs, y))
+    # interior critical point (grad q = 0), clamped into the rect
+    det = g00 * g11 - g01 * g01
+    det_s = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    xi = jnp.clip((g01 * g12 - g11 * g02) / det_s, kx0, kx1)
+    yi = jnp.clip((g01 * g02 - g00 * g12) / det_s, ky0, ky1)
+    m = jnp.maximum(m, q(xi, yi))
+    # margin absorbs f32 rounding of the normalized form (|g| <= 1)
+    return m < -1e-5
+
+
 def count_pairs(scene, camera: Camera, config: RenderConfig) -> jnp.ndarray:
     """Exact (tile, gaussian) pair count of a frame WITHOUT expanding the
     stream — O(N) footprint math only. Lets callers pick a snug
@@ -563,7 +663,7 @@ def _head_fill(first: jnp.ndarray, values: jnp.ndarray, cap: int) -> jnp.ndarray
 
 def _bin_pairs_presorted(
     fp: Footprint, camera: Camera, config: RenderConfig, cap: int,
-    tile_rows=None,
+    tile_rows=None, conics=None,
 ) -> PairStream:
     """Gather-free pair expansion over DEPTH-SORTED gaussians.
 
@@ -580,6 +680,14 @@ def _bin_pairs_presorted(
 
     tile_rows: optional (row_lo, n_rows) per-shard band restriction (see
     _tile_rects); tile ids and `starts` are then band-local.
+
+    conics: optional per-gaussian projected-conic columns
+    (projection_conics): each expanded pair is tested against its tile's
+    exact NDC rect and provably-dead pairs (bbox corners outside the hit
+    conic) are dropped from the stream before the tile sort — the march
+    then skips them entirely. The six float columns ride the same fused
+    head fill as the int context (bitcast to int32: delta + cumsum is
+    exact integer arithmetic, so the float bits round-trip exactly).
     """
     tx_n, ty_n = num_tiles(camera, config)
     n_tiles = tx_n * (ty_n if tile_rows is None else tile_rows[1])
@@ -614,9 +722,12 @@ def _bin_pairs_presorted(
 
     ranks = jnp.arange(n, dtype=jnp.int32)
     packedv = jax.lax.shift_left(x0, by + bsw) | jax.lax.shift_left(y0, bsw) | sw
-    rank_f, off_pair, packed = multi_head_fill(
-        first, [ranks + 1, offsets, packedv], cap
-    )
+    fill_vals = [ranks + 1, offsets, packedv]
+    if conics is not None:
+        bc = jax.lax.bitcast_convert_type
+        fill_vals += [bc(g[order], jnp.int32) for g in conics]
+    filled = multi_head_fill(first, fill_vals, cap)
+    rank_f, off_pair, packed = filled[:3]
     gsrc = rank_f - 1  # (P,)
     slot = jnp.arange(cap, dtype=jnp.int32)
     valid = (slot < jnp.minimum(total, cap)) & (gsrc >= 0)
@@ -632,6 +743,25 @@ def _bin_pairs_presorted(
         jnp.int32
     )
     tile = (y0_p + q) * tx_n + x0_p + (r - q * sw_p)
+
+    if conics is not None:
+        # exact conic-vs-tile-rect cull (pinhole): the pair's tile rect in
+        # NDC (pixel_ndc convention: k = 2*px/W - 1, covering every pixel
+        # center the tile contains)
+        bc = jax.lax.bitcast_convert_type
+        gc = tuple(bc(v, jnp.float32) for v in filled[3:9])
+        tx_p = x0_p + (r - q * sw_p)
+        ty_p = y0_p + q + (0 if tile_rows is None else tile_rows[0])
+        tw, th = config.tile_w, config.tile_h
+        Wpx, Hpx = camera.width, camera.height
+        fx = tx_p.astype(jnp.float32)
+        fy = ty_p.astype(jnp.float32)
+        kx0 = 2.0 * (fx * tw) / Wpx - 1.0
+        kx1 = 2.0 * (fx * tw + tw) / Wpx - 1.0
+        ky0 = 2.0 * (fy * th) / Hpx - 1.0
+        ky1 = 2.0 * (fy * th + th) / Hpx - 1.0
+        dead = _conic_rect_cull(gc, kx0, kx1, ky0, ky1)
+        valid = valid & ~dead
 
     key = jnp.where(valid, tile, n_tiles)  # invalids sort after every tile
     payload = jnp.where(valid, gsrc, -1)
@@ -768,8 +898,16 @@ def bin_pairs(
     use_tile_keys = geom is not None and config.pair_keys in ("tile", "tile_peak")
     if not use_tile_keys:
         # default path: depth-pre-sorted gather-free expansion
+        conics = None
+        if (
+            geom is not None
+            and config.conic_cull
+            and config.camera_model == CameraModel.PINHOLE
+        ):
+            conics = projection_conics(geom, camera)
         return _bin_pairs_presorted(
-            fp, camera, config, pair_capacity, tile_rows=tile_rows
+            fp, camera, config, pair_capacity, tile_rows=tile_rows,
+            conics=conics,
         )
 
     tw, th = config.tile_w, config.tile_h

@@ -63,6 +63,10 @@ def _psnr(a, b):
 @pytest.mark.parametrize("name", ["pinhole_720p", "fisheye_720", "hm2_360p"])
 def test_fullframe_parity(name):
     ref, scene, camera, config = _load(name)
-    out = render(scene, camera, config, method="tiled")["rgb"]
-    p = _psnr(out, ref)
+    # drop-free capacity: the default 8N bucket silently drops ~2/3 of the
+    # 490k pairs this scene emits at 720p, which reads as a parity failure
+    out = render(scene, camera, config, method="tiled",
+                 pair_capacity=1 << 20, return_aux=True)
+    assert int(out["aux"]["n_dropped"]) == 0
+    p = _psnr(out["rgb"], ref)
     assert p >= 40.0, f"{name}: full-frame PSNR {p:.2f} < 40 vs exact oracle"

@@ -84,6 +84,58 @@ class TestPallasParity:
         b = render_pallas(scene, CAM, cfg, pair_capacity=CAP)
         assert float(psnr(a["rgb"], b["rgb"])) > 40.0
 
+    def test_merge_order_beats_window_at_same_chunk(self):
+        """Cross-chunk streaming merge (order="merge"): the pending buffer
+        defers the c largest-key candidates across chunk boundaries, so
+        inversions up to ~2 chunks wide are repaired — it must beat the
+        in-chunk-only window sort at the same chunk on the adversarial
+        scene, clear the parity bar at HALF the production window width,
+        and conserve total opacity (the pending flush loses nothing)."""
+        scene = random_scene(3000, seed=11)
+        ref = render_oracle(scene, CAM, CFG)["rgb"]
+        outs = {}
+        for order in ("merge", "window"):
+            cfg = CFG.replace(order=order, march_chunk=64)
+            out = render_pallas(scene, CAM, cfg, pair_capacity=CAP,
+                                return_aux=True)
+            outs[order] = float(psnr(ref, out["rgb"]))
+            if order == "merge":
+                merge_alpha = np.asarray(out["alpha"])
+        key_alpha = np.asarray(
+            render_pallas(scene, CAM, CFG, pair_capacity=CAP)["alpha"]
+        )
+        assert outs["merge"] > 40.0, outs
+        assert outs["merge"] > outs["window"] + 1.0, outs
+        # alpha = 1 - final transmittance is ordering-invariant up to the
+        # early-termination freeze: flushing must not drop mass
+        np.testing.assert_allclose(merge_alpha, key_alpha, atol=2e-2)
+
+    def test_merge_order_is_exact_on_sparse_scene(self):
+        """On a spread-out scene every per-ray inversion fits inside the
+        2-chunk repair span, so the merge must reproduce the EXACT oracle
+        up to only the 3x10-bit color-pack quantization its pending
+        buffer rides in (1/255.75 steps — half an RGB8 output step).
+        Stream (key) order is ~42 dB here; the merge recovers ~62."""
+        scene = random_scene(300, seed=6, extent=4.0)
+        o = render_oracle(scene, CAM, CFG)["rgb"]
+        b = render_pallas(
+            scene, CAM, CFG.replace(order="merge", march_chunk=64),
+            pair_capacity=CAP,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b["rgb"]), np.asarray(o), atol=1.1 / 255.75
+        )
+        assert float(psnr(o, b["rgb"])) > 55.0
+
+    def test_merge_order_rejected_for_training(self):
+        from gaussian_ray_tracing_tpu.ops.pallas_march import march_stream_diff
+
+        with pytest.raises(ValueError, match="merge"):
+            march_stream_diff(
+                None, None, None, None,
+                CFG.replace(order="merge"), 1, 256, 64, True,
+            )
+
     def test_render_dispatch(self):
         scene = random_scene(500, seed=1)
         out = render(scene, CAM, CFG, method="pallas")

@@ -124,12 +124,23 @@ def test_pallas_sharded_matches_single():
     scene = random_scene(2000, seed=3)
     cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
                         width=96, height=64)
-    cfg = CFG.replace(order="key")
     mesh = make_mesh(8)
+    # bit-identity holds when binning is deterministic across program
+    # shapes; the conic cull's borderline m < -margin decisions round
+    # differently under the global vs per-shard-banded binning programs
+    # (XLA fuses them differently), so it is pinned at float tolerance
+    cfg = CFG.replace(order="key", conic_cull=False)
     a = render_pallas(scene, cam, cfg, pair_capacity=100_000)
     b = render_pallas_sharded(scene, cam, cfg, mesh, pair_capacity=100_000)
     np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
     np.testing.assert_array_equal(np.asarray(a["alpha"]), np.asarray(b["alpha"]))
+    cfg = CFG.replace(order="key")
+    a = render_pallas(scene, cam, cfg, pair_capacity=100_000)
+    b = render_pallas_sharded(scene, cam, cfg, mesh, pair_capacity=100_000)
+    np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a["alpha"]), np.asarray(b["alpha"]),
+                               atol=1e-5)
 
 
 def test_gaussian_sharded_fast_matches_oracle_slabs():
