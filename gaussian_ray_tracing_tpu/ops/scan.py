@@ -51,18 +51,31 @@ def _tri_incl_low(n: int) -> jnp.ndarray:
 
 
 def _split_scan(x_i32: jnp.ndarray, tri: jnp.ndarray, left: bool = False) -> jnp.ndarray:
-    """Exact int32 inclusive prefix of x via two f32 MXU passes (hi/lo
-    16-bit split; wraparound-correct). Scans along the LAST axis with
-    y = x @ tri, or DOWN the rows with y = tri @ x when left=True."""
+    """Exact int32 inclusive prefix of x via four bf16 MXU passes
+    (byte-wise split; wraparound-correct). Scans along the LAST axis with
+    y = x @ tri, or DOWN the rows with y = tri @ x when left=True.
+
+    Why bytes, not 16-bit halves: on the real MXU a DEFAULT-precision f32
+    matmul executes as ONE bf16 pass, so operands must be exactly
+    bf16-representable. Bytes (0..255, and -128..127 for the sign chunk)
+    fit bf16's 8 significand bits; prefix sums of <= 256*128 byte terms
+    stay < 2^24, exact in the f32 accumulator. The reassembly shifts wrap
+    mod 2^32, exactly the int32 semantics the head fills rely on."""
     f32 = jnp.float32
-    hi = jax.lax.shift_right_arithmetic(x_i32, 16)
-    lo = x_i32 & jnp.int32(0xFFFF)
+    chunks = [
+        jax.lax.shift_right_arithmetic(x_i32, 24),
+        jax.lax.shift_right_logical(x_i32, 16) & jnp.int32(0xFF),
+        jax.lax.shift_right_logical(x_i32, 8) & jnp.int32(0xFF),
+        x_i32 & jnp.int32(0xFF),
+    ]
     mm = (lambda a: jnp.dot(tri, a, preferred_element_type=f32)) if left else (
         lambda a: jnp.dot(a, tri, preferred_element_type=f32)
     )
-    shi = mm(hi.astype(f32))
-    slo = mm(lo.astype(f32))
-    return jax.lax.shift_left(shi.astype(jnp.int32), 16) + slo.astype(jnp.int32)
+    out = jnp.zeros_like(x_i32)
+    for k, ch in enumerate(chunks):
+        s = mm(ch.astype(jnp.bfloat16).astype(f32)).astype(jnp.int32)
+        out = out + jax.lax.shift_left(s, (3 - k) * 8)
+    return out
 
 
 def _scan_kernel(x_ref, o_ref, carry, *, C: int, bs: int):
@@ -80,9 +93,13 @@ def _scan_kernel(x_ref, o_ref, carry, *, C: int, bs: int):
         t = y[:, 127:128]  # (bs, 1) row totals
         s = _split_scan(t, tri_low, left=True)  # (bs, 1) inclusive down rows
         excl = s - t  # rows before this one
-        cc = carry[c : c + 1, 0:1]  # (1, 1) cross-block carry
-        o_ref[c] = y + excl + cc
-        carry[c : c + 1, 0:1] = cc + s[bs - 1 : bs, :]
+        # the carry is stored LANE-REPLICATED as a (1, 128) row: Mosaic
+        # cannot broadcast a (1, 1) across sublanes and lanes in one op
+        cc = carry[c : c + 1, :]  # (1, 128) cross-block carry
+        o_ref[c] = y + excl + cc  # sublane-only broadcast of cc
+        carry[c : c + 1, :] = cc + jnp.broadcast_to(
+            s[bs - 1 : bs, :], (1, 128)
+        )  # lane-only broadcast of the block total
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
