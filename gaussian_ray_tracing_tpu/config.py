@@ -138,7 +138,19 @@ class RenderConfig:
     # only when max over the tile's NDC rect of the line-hit quadratic is
     # provably below the alpha_min level set the march gates on, so the
     # rendered image is unchanged while the march skips the dead pairs.
-    conic_cull: bool = True
+    # DEFAULT OFF: the on-chip A/B (scripts/ab_march.py, r3) measured the
+    # cull's expansion cost (+6 head-fill channels + per-pair conic eval)
+    # at ~+4 ms/frame vs ~-2 ms of march savings from the 21.6% pair drop
+    # — a net 3 Mrays/s regression at the 720p/100k bench config.
+    conic_cull: bool = False
+    # Evaluate per-ray SH radiance (sh_degree >= 1) inside the march kernel
+    # as per-channel (c, K) @ (K, R) bf16 hi/lo MXU contractions instead of
+    # ~6K VPU broadcast multiply-adds. Numerically within ~4e-6 relative of
+    # the VPU loop (hi/lo split keeps 18 mantissa bits through the MXU).
+    # The kernel applies this only under sort orders (window/merge), where
+    # the VPU is saturated and the MXU idle: measured +3.1 ms there and
+    # -2.7 ms in key order (PERF.md round-3 kernel matrix).
+    sh_mxu: bool = True
     # Compute/composite dtype for the fast path ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Use the fused Pallas kernel for the per-tile march (False = pure-JAX path).

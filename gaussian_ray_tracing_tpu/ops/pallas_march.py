@@ -204,6 +204,7 @@ def _march_kernel(
 
     acc[0:3, :] = jnp.zeros((3, R), f32)
     acc[3:4, :] = dirs[5:6, :]  # carry-in transmittance
+    acc[4:8, :] = jnp.zeros((4, R), f32)  # row 4: sort-fire counter
 
     # strictly-lower-triangular ones: exclusive prefix sums over candidates
     # (bf16: the mask is exact in bf16 and _tri_dot runs it on the fast MXU)
@@ -217,6 +218,17 @@ def _march_kernel(
     K = num_coeffs(sh_deg)
     # list of K (1, R) arrays: layout-free per-ray basis values
     basis = sh_basis_list(dx, dy, dz, sh_deg) if sh_deg > 0 else None
+    # MXU SH pays only when a sort network keeps the VPU saturated (the MXU
+    # idles there): +3.1 ms in window order, -2.7 ms in key order (PERF.md
+    # round-3 kernel matrix)
+    sh_mxu = config.sh_mxu and sh_deg > 0 and config.order in ("window", "merge")
+    if sh_mxu:
+        # per-tile SH basis panel for the MXU radiance path: hi/lo bf16
+        # split keeps ~18 mantissa bits through the bf16 MXU (the dropped
+        # lo@lo term is ~2^-18 relative)
+        bmat = jnp.concatenate(basis, axis=0)  # (K, R)
+        bm_hi = bmat.astype(jnp.bfloat16)
+        bm_lo = (bmat - bm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     minT = config.min_transmittance
 
@@ -245,21 +257,19 @@ def _march_kernel(
             jnp.any(below, axis=0, keepdims=True), frozen, p_last
         )
 
-        if colors_ord[0].shape == (c, 1):
-            # per-candidate color columns: ONE MXU (3, c) @ (c, R)
-            cols = jnp.concatenate(colors_ord, axis=1)  # (c, 3)
-            rgb_part = jax.lax.dot_general(
-                cols, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # (3, R)
-        else:
-            rgb_part = jnp.concatenate(
-                [
-                    jnp.sum(w * colors_ord[ch], axis=0, keepdims=True)
-                    for ch in range(3)
-                ],
-                axis=0,
-            )
+        # weighted radiance: VPU broadcast-multiply + sublane reduction per
+        # channel ((c, 1) columns broadcast over lanes for free). An MXU
+        # (3, c) @ (c, R) dot_general was tried for the (c, 1) case and is
+        # 3.4 ms SLOWER at the bench scale: f32 MXU runs at 1/8 rate and
+        # M=3 uses 3/128 of the array (PERF.md round-3 kernel matrix,
+        # sh0 6.22 ms vs sh3 2.85 ms was this op).
+        rgb_part = jnp.concatenate(
+            [
+                jnp.sum(w * colors_ord[ch], axis=0, keepdims=True)
+                for ch in range(3)
+            ],
+            axis=0,
+        )
         return rgb_part, t_next
 
     def _pack_colors(colors):
@@ -296,16 +306,18 @@ def _march_kernel(
         pend_c[...] = jnp.zeros((c, R), jnp.int32)
 
     if quad:
-        # per-tile MXU RHS panels for the quadratic-form response: with
-        # Q = M^T M, dd = d^T Q d = q . m2(d) and od = (eye-mu)^T Q d = v . d
-        # — two (c, 8) @ (8, R) matmuls replace ~25 VPU broadcast ops
-        zr = jnp.zeros((1, R), f32)
-        m2_rhs = jnp.concatenate(
-            [dx * dx, dy * dy, dz * dz,
-             2.0 * dx * dy, 2.0 * dx * dz, 2.0 * dy * dz, zr, zr],
-            axis=0,
-        )  # (8, R)
-        d_rhs = jnp.concatenate([dx, dy, dz, zr, zr, zr, zr, zr], axis=0)
+        # per-tile (1, R) direction monomials for the quadratic-form
+        # response: with Q = M^T M, dd = d^T Q d = q . m2(d) and
+        # od = (eye-mu)^T Q d = v . d, evaluated as (c, 1) x (1, R)
+        # broadcast products on the VPU. MXU (c, 8) @ (8, R) matmuls were
+        # tried first and are NUMERICALLY BROKEN here: Mosaic lowers them
+        # at bf16 input precision, and od sums terms of magnitude
+        # |Q||rel||d| (~1e6 for small-scale gaussians) that cancel to
+        # O(1e3) — the ~2^-9-relative operand rounding destroys the
+        # response entirely (PSNR ~11 dB vs the tiled path on chip, round
+        # 3). The VPU broadcast form is full f32 and costs ~16 ops.
+        m2 = (dx * dx, dy * dy, dz * dz,
+              2.0 * dx * dy, 2.0 * dx * dz, 2.0 * dy * dz)  # (1, R) each
 
     def get_dma(slot, j):
         if block_mode:
@@ -357,12 +369,14 @@ def _march_kernel(
 
             present = cand_idx < (n - j * c)  # (c, 1) tail mask
             if quad:
-                # quadratic-form response on the MXU (shared origin):
-                # dd = d^T Q d, od = (eye - mu)^T Q d, oo/cq per-candidate
-                dd = jnp.dot(g[:, _Q0 : _Q0 + 8], m2_rhs,
-                             preferred_element_type=f32)  # (c, R)
-                od = jnp.dot(g[:, _V0 : _V0 + 8], d_rhs,
-                             preferred_element_type=f32)  # (c, R)
+                # quadratic-form response (shared origin), f32 VPU
+                # broadcasts: dd = d^T Q d = sum_k q_k * m2_k(d),
+                # od = (eye - mu)^T Q d = v . d; oo/cq per-candidate
+                q = [col(_Q0 + k) for k in range(6)]  # (c, 1) each
+                dd = (q[0] * m2[0] + q[1] * m2[1] + q[2] * m2[2]
+                      + q[3] * m2[3] + q[4] * m2[4] + q[5] * m2[5])  # (c, R)
+                od = (col(_V0) * dx + col(_V0 + 1) * dy
+                      + col(_V0 + 2) * dz)  # (c, R)
                 cq = col(_CQ)
                 oo_b = col(_OO)
                 rcp6 = 1.0 / jnp.maximum(dd, 1e-6)
@@ -460,19 +474,34 @@ def _march_kernel(
 
             # per-candidate colors (needed before a possible per-ray re-sort)
             colors = []
-            for ch in range(3):
-                if sh_deg == 0:
-                    if quad:
-                        colors.append(col(_RGB0 + ch))  # precomputed, clamped
+            if sh_mxu:
+                # per-channel (c, K) @ (K, R) MXU contractions (hi/lo bf16:
+                # ~4e-6 relative of the VPU loop; a stacked (3c, K) concat
+                # is rejected by Mosaic — lane-offset mismatch)
+                for ch in range(3):
+                    coef = g[:, _SH0 + ch * K : _SH0 + (ch + 1) * K]  # (c, K)
+                    co_hi = coef.astype(jnp.bfloat16)
+                    co_lo = (coef - co_hi.astype(f32)).astype(jnp.bfloat16)
+                    raw = (
+                        jnp.dot(co_hi, bm_hi, preferred_element_type=f32)
+                        + jnp.dot(co_hi, bm_lo, preferred_element_type=f32)
+                        + jnp.dot(co_lo, bm_hi, preferred_element_type=f32)
+                    ) + 0.5  # (c, R)
+                    colors.append(jnp.maximum(raw, 0.0))
+            else:
+                for ch in range(3):
+                    if sh_deg == 0:
+                        if quad:
+                            colors.append(col(_RGB0 + ch))  # precomputed, clamped
+                        else:
+                            colors.append(
+                                jnp.maximum(0.5 + SH_C0 * col(_SH0 + ch * K), 0.0)
+                            )  # (c, 1)
                     else:
-                        colors.append(
-                            jnp.maximum(0.5 + SH_C0 * col(_SH0 + ch * K), 0.0)
-                        )  # (c, 1)
-                else:
-                    acc_c = jnp.full((c, R), 0.5, f32)
-                    for k in range(K):
-                        acc_c += basis[k] * col(_SH0 + ch * K + k)
-                    colors.append(jnp.maximum(acc_c, 0.0))  # (c, R)
+                        acc_c = jnp.full((c, R), 0.5, f32)
+                        for k in range(K):
+                            acc_c += basis[k] * col(_SH0 + ch * K + k)
+                        colors.append(jnp.maximum(acc_c, 0.0))  # (c, R)
 
             _composite = functools.partial(_composite_with, t_carry)
             # per-ray ordering key (config.window_key): the oracle's event
@@ -559,19 +588,32 @@ def _march_kernel(
                 sig_t = jnp.where(a > 0.0, t_key, -jnp.inf)
                 rmax = _running_max_excl(sig_t, cand_idx)
                 has_inv = jnp.any((a > 0.0) & (t_key < rmax))
+                # sort-fire telemetry in the spare acc row (1 VPU op/chunk;
+                # surfaced by pallas_march_stream(stats=True))
+                acc[4:5, :] = acc[4:5, :] + jnp.where(has_inv, 1.0, 0.0)
 
                 def _sorted_branch(a_, t_event_):
-                    # pack (paid only when the network runs). The key is
-                    # UNIQUE per lane: (t quantized to 16 bits within the
-                    # chunk's range) << 8 | source candidate index —
-                    # uniqueness makes the network a true permutation (on
-                    # key ties the XOR-exchange duplicates one payload and
-                    # drops its partner, which both corrupts colors and
-                    # breaks the backward's permutation inverse).
-                    # Zero-alpha entries take t-bucket 65535 so they sort
-                    # after every real hit. Alpha rides as an EXACT float
-                    # payload; colors as a 3x10-bit pack (1/256 steps over
-                    # [0,4); output is RGB8-quantized anyway, tracer.cuh:484).
+                    # pack (paid only when the network runs). Two variants:
+                    #
+                    # Training (save_tin): the key is UNIQUE per lane —
+                    # (t quantized to 16 bits within the chunk's range)
+                    # << 8 | source candidate index. Uniqueness makes the
+                    # network a true permutation (on key ties the
+                    # XOR-exchange duplicates one payload and drops its
+                    # partner, which both corrupts colors and breaks the
+                    # backward's permutation inverse), and the embedded
+                    # source index is how the backward kernel inverts the
+                    # sort. Alpha rides as an EXACT float payload.
+                    #
+                    # Render-only (not save_tin): alpha rides IN the key
+                    # (15-bit quantization, <= 1.5e-5 absolute error) so the
+                    # sort carries ONE payload (the packed colors) instead
+                    # of two — ~1/3 fewer VPU ops in the network that
+                    # dominates the window kernel (PERF.md round-3 matrix).
+                    # Key = tq16 << 15 | a15 (65535 << 15 < 2^31). Exact
+                    # key ties can duplicate a color pack between the two
+                    # tied lanes — bounded by the color difference of
+                    # same-t same-alpha candidates, invisible at RGB8.
                     gated_t = jnp.where(a_ > 0.0, t_event_, jnp.inf)
                     t_min_c = jnp.min(gated_t)
                     t_max_c = jnp.max(jnp.where(a_ > 0.0, t_event_, -jnp.inf))
@@ -579,15 +621,37 @@ def _march_kernel(
                     tq = jnp.clip(
                         (t_event_ - t_min_c) * (65534.0 / t_rng), 0.0, 65534.0
                     ).astype(jnp.int32)
-                    src = jax.lax.broadcasted_iota(jnp.int32, (c, R), 0)
-                    zbase = jnp.int32(65535 << 8)
-                    skey = jnp.where(
-                        a_ > 0.0, jax.lax.shift_left(tq, 8), zbase
-                    ) | src
                     cpack = _pack_colors(colors)
-                    apay = jnp.broadcast_to(a_, (c, R))
-                    _, (cpack, a_s) = _bitonic_sort(skey, (cpack, apay), c)
-                    return _composite(a_s, _unpack_colors(cpack))
+                    if save_tin:
+                        src = jax.lax.broadcasted_iota(jnp.int32, (c, R), 0)
+                        zbase = jnp.int32(65535 << 8)
+                        skey = jnp.where(
+                            a_ > 0.0, jax.lax.shift_left(tq, 8), zbase
+                        ) | src
+                        apay = jnp.broadcast_to(a_, (c, R))
+                        _, (cpack_s, a_s) = _bitonic_sort(
+                            skey, (cpack, apay), c
+                        )
+                    else:
+                        aq = jnp.clip(a_ * 32767.0, 0.0, 32767.0).astype(
+                            jnp.int32
+                        )
+                        zbase = jnp.int32(65535 << 15)
+                        skey = jnp.where(
+                            a_ > 0.0,
+                            jax.lax.shift_left(tq, 15) | aq,
+                            zbase,
+                        )
+                        skey = jnp.broadcast_to(skey, (c, R))
+                        skey_s, (cpack_s,) = _bitonic_sort(
+                            skey, (cpack,), c
+                        )
+                        a_s = jnp.where(
+                            skey_s >= zbase,
+                            0.0,
+                            (skey_s & 32767).astype(f32) * (1.0 / 32767.0),
+                        )
+                    return _composite(a_s, _unpack_colors(cpack_s))
 
                 rgb_part, t_next = jax.lax.cond(
                     has_inv,
@@ -620,7 +684,7 @@ def _march_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "n_tiles", "rays_per_tile", "chunk", "interpret", "save_tin", "quad"),
+    static_argnames=("config", "n_tiles", "rays_per_tile", "chunk", "interpret", "save_tin", "quad", "stats"),
 )
 def pallas_march_stream(
     starts: jnp.ndarray,  # (T+1,) int32
@@ -646,6 +710,8 @@ def pallas_march_stream(
     quad: bool = False,  # use the quadratic-form feature columns (MXU
     #   response path; requires a feature table built with eye= and a
     #   shared ray origin — see models/tiled.feature_table)
+    stats: bool = False,  # additionally return the per-tile count of
+    #   chunks whose window-sort network ran (telemetry row 4)
 ):
     """March every tile over its pair-stream segment.
 
@@ -775,6 +841,10 @@ def pallas_march_stream(
         rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))  # (T, R, 3)
         return rgb, out[:, 3, :], tin, chunk_base
     rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))  # (T, R, 3)
+    if stats:
+        # per-tile count of chunks whose per-ray sort network actually ran
+        # (row 4 telemetry; identical across rays, take lane 0)
+        return rgb, out[:, 3, :], out[:, 4, 0]
     return rgb, out[:, 3, :]
 
 

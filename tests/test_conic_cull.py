@@ -134,7 +134,7 @@ class TestRenderEquality:
         NOT bit-stable under the cull: dropping dead candidates shifts
         chunk boundaries and with them the bounded-window approximation —
         quality under the cull is pinned vs the oracle below.)"""
-        config = RenderConfig(hit_multiplicity=1, order="key")
+        config = RenderConfig(hit_multiplicity=1, order="key", conic_cull=True)
         scene = random_scene(2500, seed=7)
         cam = Camera.create(width=96, height=64, **CAM)
         on = np.asarray(
@@ -154,7 +154,7 @@ class TestRenderEquality:
         from gaussian_ray_tracing_tpu.utils.image import psnr
 
         config = RenderConfig(hit_multiplicity=1, order="window",
-                              march_chunk=64)
+                              march_chunk=64, conic_cull=True)
         scene = random_scene(2500, seed=7)
         cam = Camera.create(width=96, height=64, **CAM)
         ref = np.asarray(render(scene, cam, config, method="oracle")["rgb"])
@@ -171,7 +171,7 @@ class TestRenderEquality:
     def test_cull_actually_drops_pairs(self):
         from gaussian_ray_tracing_tpu.ops.tiles import bin_pairs
 
-        config = RenderConfig(hit_multiplicity=1)
+        config = RenderConfig(hit_multiplicity=1, conic_cull=True)
         scene = random_scene(2500, seed=7)
         cam = Camera.create(width=96, height=64, **CAM)
         geom = _geom(scene, config)
