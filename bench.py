@@ -207,6 +207,35 @@ def _run():
         extra["train_step_512_50k_ms"] = round(_train_step_ms(on_tpu), 2)
     except Exception as e:
         extra["train_step_512_50k_ms"] = f"failed: {type(e).__name__}"
+    try:
+        # full-frame parity of the PRODUCTION path on THIS hardware: the
+        # same pallas config renders the stored 720p oracle golden's scene
+        # and must clear the PSNR >= 40 parity bar (the golden is the
+        # exact per-ray-ordered reference semantics, tracer.cuh:328-373)
+        import numpy as np
+
+        gpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "golden", "pinhole_720p.npz")
+        if os.path.exists(gpath):
+            from gaussian_ray_tracing_tpu.utils.image import psnr
+
+            gz = np.load(gpath)
+            n_g, seed_g, w_g, h_g, hm_g, fe_g = [int(v) for v in gz["meta"]]
+            gscene = jax.device_put(random_scene(n_g, seed=seed_g))
+            gcam = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+                                 width=w_g, height=h_g)
+            gcfg = config.replace(hit_multiplicity=hm_g)
+            gcap = _snug_capacity(gscene, gcam, gcfg, method)
+            out = render(gscene, gcam, gcfg, method=method,
+                         pair_capacity=gcap)["rgb"]
+            p = float(psnr(np.asarray(gz["rgb"], np.float32),
+                           np.asarray(out)))
+            extra["psnr_vs_golden"] = round(p, 2)
+            assert p >= 40.0, f"production-path PSNR {p:.1f} < 40 vs oracle"
+    except AssertionError:
+        raise
+    except Exception as e:
+        extra["psnr_vs_golden"] = f"failed: {type(e).__name__}"
 
     print(
         json.dumps(

@@ -143,6 +143,15 @@ class RenderConfig:
     # at ~+4 ms/frame vs ~-2 ms of march savings from the 21.6% pair drop
     # — a net 3 Mrays/s regression at the 720p/100k bench config.
     conic_cull: bool = False
+    # 3-zone row-span expansion (pinhole): each gaussian's TOP and BOTTOM
+    # tile rows emit only the exact conic x-span for that row's NDC slab
+    # (single-row gaussians get their exact span), middle rows keep the
+    # rect's full width. Dead corner/edge pairs are never EMITTED, so the
+    # O(P) head fills, the tile sort, the feature gather and the march all
+    # shrink with the pair count — unlike conic_cull, which pays per-pair
+    # math to invalidate pairs that still occupy stream slots. Lossless
+    # (outside the conic the march's alpha_min gate composites nothing).
+    row_span: bool = False
     # Evaluate per-ray SH radiance (sh_degree >= 1) inside the march kernel
     # as per-channel (c, K) @ (K, R) bf16 hi/lo MXU contractions instead of
     # ~6K VPU broadcast multiply-adds. Numerically within ~4e-6 relative of

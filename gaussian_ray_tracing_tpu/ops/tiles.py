@@ -663,7 +663,7 @@ def _head_fill(first: jnp.ndarray, values: jnp.ndarray, cap: int) -> jnp.ndarray
 
 def _bin_pairs_presorted(
     fp: Footprint, camera: Camera, config: RenderConfig, cap: int,
-    tile_rows=None, conics=None,
+    tile_rows=None, conics=None, spans=None,
 ) -> PairStream:
     """Gather-free pair expansion over DEPTH-SORTED gaussians.
 
@@ -695,6 +695,37 @@ def _bin_pairs_presorted(
 
     x0, y0, sw, count = _tile_rects(fp, camera, config, tile_rows=tile_rows)
 
+    bx = max(1, (tx_n - 1).bit_length())
+    by = max(1, (ty_n - 1).bit_length())
+    bsw = max(1, tx_n.bit_length())  # sw can equal tx_n
+    if bx + by + bsw > 31:
+        raise ValueError(f"tile grid too large to pack: {tx_n}x{ty_n}")
+
+    bsh = max(1, ty_n.bit_length())  # sh can equal ty_n
+    span_chans = None
+    if spans is not None and 2 * bsw + bsh <= 31:
+        # 3-zone expansion (_edge_row_spans): the top/bottom rows emit only
+        # their exact conic x-span, middles the full width. count shrinks
+        # accordingly, so every O(P) stage downstream (fills, tile sort,
+        # feature gather, march) shrinks with it.
+        d0, w0, d1, w1 = spans
+        sw1 = jnp.maximum(sw, 1)
+        sh = jnp.floor(
+            count.astype(jnp.float32) / sw1.astype(jnp.float32)
+        ).astype(jnp.int32)
+        count = jnp.where(
+            count > 0,
+            w0 + jnp.maximum(sh - 2, 0) * sw1
+            + jnp.where(sh >= 2, w1, 0),
+            0,
+        )
+        span_chans = (
+            jax.lax.shift_left(d0, bsw) | w0,
+            jax.lax.shift_left(d1, bsw + bsh)
+            | jax.lax.shift_left(w1, bsh)
+            | sh,
+        )
+
     # --- depth pre-sort (N) -------------------------------------------
     d = jnp.clip(fp.depth, 1e-30, 1e30)
     dbits = jax.lax.bitcast_convert_type(d, jnp.int32)  # monotone, >= 0
@@ -703,16 +734,12 @@ def _bin_pairs_presorted(
     y0 = y0[order]
     sw = jnp.maximum(sw[order], 1)
     count = count[order]
+    if span_chans is not None:
+        span_chans = tuple(ch[order] for ch in span_chans)
 
     offsets = jnp.cumsum(count) - count  # exclusive
     total = offsets[-1] + count[-1] if n else jnp.int32(0)
     first = jnp.minimum(offsets, cap)
-
-    bx = max(1, (tx_n - 1).bit_length())
-    by = max(1, (ty_n - 1).bit_length())
-    bsw = max(1, tx_n.bit_length())  # sw can equal tx_n
-    if bx + by + bsw > 31:
-        raise ValueError(f"tile grid too large to pack: {tx_n}x{ty_n}")
 
     # --- per-pair context: ONE fused multi-channel head fill -----------
     # (ops/scan.multi_head_fill: one (N, 3) row scatter + one Pallas pass
@@ -723,6 +750,10 @@ def _bin_pairs_presorted(
     ranks = jnp.arange(n, dtype=jnp.int32)
     packedv = jax.lax.shift_left(x0, by + bsw) | jax.lax.shift_left(y0, bsw) | sw
     fill_vals = [ranks + 1, offsets, packedv]
+    n_span = 0
+    if span_chans is not None:
+        fill_vals += list(span_chans)
+        n_span = 2
     if conics is not None:
         bc = jax.lax.bitcast_convert_type
         fill_vals += [bc(g[order], jnp.int32) for g in conics]
@@ -739,18 +770,44 @@ def _bin_pairs_presorted(
     r = slot - off_pair
     # integer div/mod have no VPU hardware path; float reciprocal math is
     # exact here (r, sw < 2^24)
-    q = jnp.floor(r.astype(jnp.float32) / sw_p.astype(jnp.float32)).astype(
-        jnp.int32
-    )
-    tile = (y0_p + q) * tx_n + x0_p + (r - q * sw_p)
+    swf = sw_p.astype(jnp.float32)
+    if span_chans is not None:
+        # 3-zone decode: row 0 spans [d0, d0+w0), middles the full width,
+        # the last row [d1, d1+w1) (sh == 1: row 0 only; w == 0 rows are
+        # skipped by the layout itself)
+        chb, chc = filled[3], filled[4]
+        mask_sw = (1 << bsw) - 1
+        w0p = chb & mask_sw
+        d0p = jax.lax.shift_right_logical(chb, bsw)
+        sh_p = chc & ((1 << bsh) - 1)
+        w1p = jax.lax.shift_right_logical(chc, bsh) & mask_sw
+        d1p = jax.lax.shift_right_logical(chc, bsh + bsw)
+        in0 = r < w0p
+        rm = r - w0p
+        nmid = sh_p - 2
+        qm = jnp.floor(rm.astype(jnp.float32) / swf).astype(jnp.int32)
+        in_last = (~in0) & (qm >= nmid)
+        q = jnp.where(in0, 0, jnp.where(in_last, sh_p - 1, 1 + qm))
+        col = jnp.where(
+            in0,
+            d0p + r,
+            jnp.where(in_last, d1p + (rm - nmid * sw_p), rm - qm * sw_p),
+        )
+        tile = (y0_p + q) * tx_n + x0_p + col
+    else:
+        q = jnp.floor(r.astype(jnp.float32) / swf).astype(jnp.int32)
+        col = r - q * sw_p
+        tile = (y0_p + q) * tx_n + x0_p + col
 
     if conics is not None:
         # exact conic-vs-tile-rect cull (pinhole): the pair's tile rect in
         # NDC (pixel_ndc convention: k = 2*px/W - 1, covering every pixel
         # center the tile contains)
         bc = jax.lax.bitcast_convert_type
-        gc = tuple(bc(v, jnp.float32) for v in filled[3:9])
-        tx_p = x0_p + (r - q * sw_p)
+        gc = tuple(
+            bc(v, jnp.float32) for v in filled[3 + n_span : 9 + n_span]
+        )
+        tx_p = x0_p + col
         ty_p = y0_p + q + (0 if tile_rows is None else tile_rows[0])
         tw, th = config.tile_w, config.tile_h
         Wpx, Hpx = camera.width, camera.height
@@ -802,6 +859,96 @@ def _bin_pairs_presorted(
         gid=gid_s, key=key_s, starts=starts, n_pairs=total,
         n_dropped=n_dropped, order=order,
     )
+
+
+def _conic_row_span(gc, ky0, ky1):
+    """Conservative NDC x-interval of the live region {q >= 0} over the
+    NDC y-slab [ky0, ky1] (all inputs broadcastable; conic columns
+    normalized as in projection_conics).
+
+    For an ellipse (g00 < 0, g11 < 0, det > 0) the live region is convex,
+    so the slab's x-extent is attained either at a slab boundary (roots of
+    the fixed-ky quadratic) or at the region's global x-extreme (roots of
+    the y-eliminated quadratic) when its critical ky lies inside the slab.
+    Every candidate is evaluated and min/max-folded, so the returned
+    interval contains the true extent (sound); a small NDC margin absorbs
+    f32 rounding of the normalized coefficients.
+
+    Returns (xmin, xmax, ok): ok=False means "not provably boundable" —
+    caller must fall back to the full rect row. xmin > xmax with ok=True
+    means the row is provably dead (zero pairs).
+    """
+    g00, g01, g11, g02, g12, g22 = gc
+    ok = (g00 < -1e-12) & (g11 < -1e-12) & (g00 * g11 - g01 * g01 > 0.0)
+    inf = jnp.float32(jnp.inf)
+
+    def fold(lo, hi, r1, r2, has):
+        lo = jnp.minimum(lo, jnp.where(has, jnp.minimum(r1, r2), inf))
+        hi = jnp.maximum(hi, jnp.where(has, jnp.maximum(r1, r2), -inf))
+        return lo, hi
+
+    lo, hi = inf, -inf
+    for ky in (ky0, ky1):
+        b = g01 * ky + g02
+        cc = (g11 * ky + 2.0 * g12) * ky + g22
+        disc = b * b - g00 * cc
+        s = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inv = 1.0 / jnp.minimum(g00, -1e-30)
+        lo, hi = fold(lo, hi, (-b - s) * inv, (-b + s) * inv, disc >= 0.0)
+    # global x-extremes: eliminate ky (critical ky(x) = -(g01 x + g12)/g11)
+    inv11 = 1.0 / jnp.minimum(g11, -1e-30)
+    a_t = g00 - g01 * g01 * inv11  # < 0 whenever det > 0 and g11 < 0
+    b_t = g02 - g01 * g12 * inv11
+    c_t = g22 - g12 * g12 * inv11
+    disc_t = b_t * b_t - a_t * c_t
+    s_t = jnp.sqrt(jnp.maximum(disc_t, 0.0))
+    inv_t = 1.0 / jnp.minimum(a_t, -1e-30)
+    for sgn in (-1.0, 1.0):
+        x_e = (-b_t + sgn * s_t) * inv_t
+        ky_e = -(g01 * x_e + g12) * inv11
+        use = (disc_t >= 0.0) & (ky_e > ky0) & (ky_e < ky1)
+        lo, hi = fold(lo, hi, x_e, x_e, use)
+    margin = 1e-4  # NDC; |g| <= 1 keeps root rounding well below this
+    return lo - margin, hi + margin, ok
+
+
+def _edge_row_spans(conics, x0, y0, sw, sh, camera: Camera,
+                    config: RenderConfig, row_lo: int | jnp.ndarray = 0):
+    """Exact conic x-spans for each gaussian's TOP and BOTTOM tile rows.
+
+    Middle rows keep the rect's full width (the ellipse is widest there),
+    so the expansion's slot arithmetic stays invertible with per-gaussian
+    constants only — no per-row stream is ever materialized and the owner
+    scatter stays O(N). For sh == 1 the single row gets its exact span
+    (w1 = 0); a dead edge row yields w = 0 and simply emits nothing.
+
+    Returns (d0, w0, d1, w1): offsets relative to x0 and widths, all (N,)
+    int32, conservative (ok=False rows fall back to the full width).
+    """
+    th, tw = config.tile_h, config.tile_w
+    Hpx, Wpx = camera.height, camera.width
+
+    def span_for(ty_local):
+        fy = (ty_local + row_lo).astype(jnp.float32)
+        ky0 = 2.0 * (fy * th) / Hpx - 1.0
+        ky1 = 2.0 * (fy * th + th) / Hpx - 1.0
+        xmin, xmax, ok = _conic_row_span(conics, ky0, ky1)
+        sx0 = jnp.floor((xmin + 1.0) * (0.5 * Wpx / tw)).astype(jnp.int32)
+        sx1 = jnp.floor((xmax + 1.0) * (0.5 * Wpx / tw)).astype(jnp.int32)
+        x1 = x0 + sw - 1
+        empty = ok & ((sx1 < x0) | (sx0 > x1) | (xmin > xmax))
+        a = jnp.where(ok, jnp.clip(sx0, x0, x1), x0)
+        b = jnp.where(ok, jnp.clip(sx1, x0, x1), x1)
+        d = jnp.where(empty, 0, a - x0)
+        w = jnp.where(empty, 0, b - a + 1)
+        return d, w
+
+    d0, w0 = span_for(y0)
+    d1, w1 = span_for(y0 + sh - 1)
+    one_row = sh <= 1
+    d1 = jnp.where(one_row, 0, d1)
+    w1 = jnp.where(one_row, 0, w1)
+    return d0, w0, d1, w1
 
 
 def _bin_pairs_affine(
@@ -924,15 +1071,29 @@ def bin_pairs(
     if not use_tile_keys:
         # default path: depth-pre-sorted gather-free expansion
         conics = None
-        if (
-            geom is not None
-            and config.conic_cull
-            and config.camera_model == CameraModel.PINHOLE
+        spans = None
+        pinhole = config.camera_model == CameraModel.PINHOLE
+        if geom is not None and pinhole and (
+            config.conic_cull or config.row_span
         ):
             conics = projection_conics(geom, camera)
+            if config.row_span:
+                x0s, y0s, sws, counts = _tile_rects(
+                    fp, camera, config, tile_rows=tile_rows
+                )
+                sws1 = jnp.maximum(sws, 1)
+                shs = jnp.floor(
+                    counts.astype(jnp.float32) / sws1.astype(jnp.float32)
+                ).astype(jnp.int32)
+                spans = _edge_row_spans(
+                    conics, x0s, y0s, sws1, shs, camera, config,
+                    row_lo=0 if tile_rows is None else tile_rows[0],
+                )
+                if not config.conic_cull:
+                    conics = None
         return _bin_pairs_presorted(
             fp, camera, config, pair_capacity, tile_rows=tile_rows,
-            conics=conics,
+            conics=conics, spans=spans,
         )
 
     tw, th = config.tile_w, config.tile_h

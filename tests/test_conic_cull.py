@@ -187,3 +187,91 @@ class TestRenderEquality:
         live_on = int(on.starts[-1])
         live_off = int(off.starts[-1])
         assert live_on < live_off, (live_on, live_off)
+
+
+class TestRowSpanExpansion:
+    """3-zone row-span expansion (config.row_span): edge rows emit only
+    their exact conic x-span, so dead pairs are never emitted at all."""
+
+    def test_drops_pairs_and_renders_equal(self):
+        from gaussian_ray_tracing_tpu.models.renderer import render
+
+        scene = random_scene(2500, seed=7)
+        cam = Camera.create(width=96, height=64, **CAM)
+        cfg = RenderConfig(hit_multiplicity=1, order="key")
+        off = render(scene, cam, cfg, method="tiled", return_aux=True)
+        on = render(scene, cam, cfg.replace(row_span=True), method="tiled",
+                    return_aux=True)
+        assert int(on["aux"]["n_pairs"]) < int(off["aux"]["n_pairs"])
+        assert int(on["aux"]["n_dropped"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(on["rgb"]), np.asarray(off["rgb"]), atol=5e-4
+        )
+
+    def test_span_soundness_brute_force(self):
+        """Every (gaussian, tile) pair present under the rect expansion but
+        absent under row_span must have NO pixel center whose ray clears
+        alpha_min for that gaussian (same bar as the conic cull)."""
+        import jax.numpy as jnp
+
+        from gaussian_ray_tracing_tpu.cameras import generate_rays
+        from gaussian_ray_tracing_tpu.ops.response import (
+            adaptive_radius,
+            max_response,
+        )
+        from gaussian_ray_tracing_tpu.ops.tiles import bin_pairs
+
+        config = RenderConfig(hit_multiplicity=1, row_span=True)
+        scene = random_scene(600, seed=11)
+        cam = Camera.create(width=96, height=64, **CAM)
+        geom = _geom(scene, config)
+        radius = geom[2]
+        bound_radius = radius * jnp.max(scene.scales, axis=-1)
+        fp = project_footprints_conic(
+            scene.means, scene.scales, scene.quats, radius, bound_radius,
+            cam, config,
+        )
+        cap = 1 << 15
+        on = bin_pairs(fp, cam, config, cap, geom=geom)
+        off = bin_pairs(fp, cam, config.replace(row_span=False), cap,
+                        geom=geom)
+        assert int(on.n_dropped) == 0 and int(off.n_dropped) == 0
+
+        def pair_set(stream):
+            gid = np.asarray(stream.gid)
+            order = np.asarray(stream.order)
+            starts = np.asarray(stream.starts)
+            pairs = set()
+            for t in range(len(starts) - 1):
+                for p in range(starts[t], starts[t + 1]):
+                    pairs.add((t, int(order[gid[p]])))
+            return pairs
+
+        removed = pair_set(off) - pair_set(on)
+        assert len(removed) > 0, "row_span culled nothing on the test scene"
+        assert pair_set(on) <= pair_set(off)
+
+        _, dirs, _ = generate_rays(cam, config)
+        dirs = np.asarray(dirs)
+        tx_n, ty_n = num_tiles(cam, config)
+        tw, th = config.tile_w, config.tile_h
+        M = np.asarray(_geom(scene, config)[1]).reshape(-1, 3, 3)
+        means = np.asarray(scene.means)
+        ops = np.asarray(scene.opacities)
+        eye = np.asarray(cam.eye)
+        checked = 0
+        for t, g in sorted(removed)[:4000]:
+            ty, tx = divmod(t, tx_n)
+            tile_dirs = dirs[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            d = tile_dirs.reshape(-1, 3)
+            og = (eye - means[g]) @ M[g].T
+            dg = d @ M[g].T
+            dd = np.maximum((dg * dg).sum(-1), 1e-12)
+            od = (og * dg).sum(-1)
+            pp = np.maximum((og * og).sum(-1) - od * od / dd, 0.0)
+            alpha = ops[g] * np.exp(-0.5 * pp)
+            assert alpha.max() <= config.alpha_min + 1e-6, (
+                t, g, float(alpha.max())
+            )
+            checked += 1
+        assert checked > 50
