@@ -151,7 +151,9 @@ class RenderConfig:
     # shrink with the pair count — unlike conic_cull, which pays per-pair
     # math to invalidate pairs that still occupy stream slots. Lossless
     # (outside the conic the march's alpha_min gate composites nothing).
-    row_span: bool = False
+    # On-chip A/B (scripts/ab_rowspan.py, r3): -17.4% pairs; 29.42 -> 30.10
+    # Mrays/s (window/128) and 41.42 -> 44.00 (key) with re-snugged caps.
+    row_span: bool = True
     # Evaluate per-ray SH radiance (sh_degree >= 1) inside the march kernel
     # as per-channel (c, K) @ (K, R) bf16 hi/lo MXU contractions instead of
     # ~6K VPU broadcast multiply-adds. Numerically within ~4e-6 relative of

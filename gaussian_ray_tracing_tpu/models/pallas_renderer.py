@@ -216,6 +216,10 @@ def render_pallas_diff(
         config.rays_per_tile,
         chunk,
         interpret,
+        # key-order training uses the f32 VPU quad response (the backward
+        # recomputes the algebraically identical scalar form); window
+        # training stays scalar so the backward's sort replay is bit-exact
+        config.order == "key",
     )
     H, W = camera.height, camera.width
     alpha_t = 1.0 - t_final_t

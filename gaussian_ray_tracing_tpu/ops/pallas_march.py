@@ -1234,43 +1234,55 @@ def pallas_march_bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
 )
 def march_stream_diff(
     starts, eye, pair_feats, dirs_t,
     config: RenderConfig, n_tiles: int, rays_per_tile: int, chunk: int,
-    interpret: bool,
+    interpret: bool, quad: bool = False,
 ):
     """Differentiable fused march (key or window order, shared origin): the
     forward is the Pallas march kernel, the backward is the hand-written
     reverse-sweep kernel producing d(pair_feats) (BASELINE north star: fused kernels with
     a hand-written backward for means/covariance/opacity/SH — the feature
-    rows carry exactly those)."""
+    rows carry exactly those).
+
+    quad (key order only): the forward uses the f32 VPU quadratic-form
+    response columns; the backward recomputes the algebraically identical
+    scalar form (gradients agree to f32 rounding). Window order keeps the
+    scalar forward: its backward replays the forward's sort network
+    BIT-EXACTLY, and a quad-vs-scalar rounding difference in the 16-bit
+    key quantization could diverge the replayed permutation."""
     if config.order == "merge":
         raise ValueError(
             "order='merge' is a forward-render optimization; train with "
             "order='window' or 'key' (the backward kernel replays those)"
         )
+    if quad and config.order != "key":
+        raise ValueError("quad training requires order='key' (see docstring)")
     rgb, t_final = pallas_march_stream(
         starts, eye, pair_feats, dirs_t, config,
         n_tiles=n_tiles, rays_per_tile=rays_per_tile, chunk=chunk,
-        interpret=interpret,
+        interpret=interpret, quad=quad,
     )
     return rgb, t_final
 
 
 def _march_diff_fwd(starts, eye, pair_feats, dirs_t, config, n_tiles,
-                    rays_per_tile, chunk, interpret):
+                    rays_per_tile, chunk, interpret, quad=False):
+    if quad and config.order != "key":
+        raise ValueError("quad training requires order='key'")
     rgb, t_final, tin, chunk_base = pallas_march_stream(
         starts, eye, pair_feats, dirs_t, config,
         n_tiles=n_tiles, rays_per_tile=rays_per_tile, chunk=chunk,
-        interpret=interpret, save_tin=True,
+        interpret=interpret, save_tin=True, quad=quad,
     )
     res = (starts, eye, pair_feats, dirs_t, tin, chunk_base)
     return (rgb, t_final), res
 
 
-def _march_diff_bwd(config, n_tiles, rays_per_tile, chunk, interpret, res, ct):
+def _march_diff_bwd(config, n_tiles, rays_per_tile, chunk, interpret, quad,
+                    res, ct):
     import numpy as _np
 
     starts, eye, pair_feats, dirs_t, tin, chunk_base = res

@@ -75,13 +75,11 @@ def main():
     cam0 = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
                          width=WIDTH, height=HEIGHT)
     for name, kw in [
-        ("rowspan=0", dict(row_span=False)),
-        ("rowspan=1", dict(row_span=True)),
+        ("rowspan=1", dict(row_span=True, order="window")),
         ("rowspan=1 key", dict(row_span=True, order="key")),
         ("rowspan=0 key", dict(row_span=False, order="key")),
     ]:
-        cfg = RenderConfig(hit_multiplicity=1, order="window",
-                           march_chunk=128, **kw)
+        cfg = RenderConfig(hit_multiplicity=1, march_chunk=128, **kw)
         cap, n_pairs = snug_cap(scene, cam0, cfg, method)
         dt = time_config(cfg, scene, cap, method)
         mrays = WIDTH * HEIGHT / dt / 1e6
