@@ -152,8 +152,18 @@ class RenderConfig:
     # math to invalidate pairs that still occupy stream slots. Lossless
     # (outside the conic the march's alpha_min gate composites nothing).
     # On-chip A/B (scripts/ab_rowspan.py, r3): -17.4% pairs; 29.42 -> 30.10
-    # Mrays/s (window/128) and 41.42 -> 44.00 (key) with re-snugged caps.
-    row_span: bool = True
+    # Mrays/s (window/128) and 41.42 -> 44.00 (key) with re-snugged caps —
+    # but once packed16 halved the gather, the -17% downstream savings no
+    # longer cover the expansion's +3.9 ms decode cost (27.88 vs 26.93 ms
+    # at window/128): DEFAULT OFF; enable for gather/march-dominated
+    # configs (high-res, wide scenes).
+    row_span: bool = False
+    # int16 bit-split quad feature table for the production render: the
+    # bandwidth-bound (P, 128) pair gather moves 256 B rows instead of
+    # 512 B with bit-exact f32 reassembly in the kernel. On-chip frame
+    # A/B (r3): window/128 30.88 -> 27.88 ms, key 23.26 -> 20.28.
+    # Render-only (training/bounce paths keep the f32 table).
+    packed16: bool = True
     # Evaluate per-ray SH radiance (sh_degree >= 1) inside the march kernel
     # as per-channel (c, K) @ (K, R) bf16 hi/lo MXU contractions instead of
     # ~6K VPU broadcast multiply-adds. Numerically within ~4e-6 relative of

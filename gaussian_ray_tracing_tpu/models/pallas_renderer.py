@@ -48,6 +48,7 @@ def prepare_pair_stream(
     config: RenderConfig,
     pair_capacity: int,
     chunk: int,
+    packed16: bool = False,
 ):
     """Primary-view frame prep shared by the plain and mesh-bounce renderers:
     feature table -> tight footprints -> sorted pair stream -> ONE padded
@@ -88,12 +89,24 @@ def prepare_pair_stream(
     F = table.shape[1]
     if F < 128:
         table = jnp.pad(table, ((0, 0), (0, 128 - F)))
-        table_for_pairs = jnp.pad(table_for_pairs, ((0, 0), (0, 128 - F)))
-    # extend gid by `chunk` slots BEFORE the gather (the last DMA of the
-    # last tile may read past starts[-1]); padding the gathered array
-    # instead would copy the whole stream a second time
+        if not packed16:
+            table_for_pairs = jnp.pad(table_for_pairs, ((0, 0), (0, 128 - F)))
+    if packed16:
+        # int16 bit-split quad table: the bandwidth-bound P-row gather
+        # moves half the bytes (PERF.md round 3; exact f32 reassembly
+        # happens in-kernel)
+        from gaussian_ray_tracing_tpu.models.tiled import feature_table_packed16
+
+        t16 = feature_table_packed16(table, config)
+        table_for_pairs = (
+            t16[stream.order] if stream.order is not None else t16
+        )
+    # extend gid by `chunk` (+16 for packed16's aligned overfetch) slots
+    # BEFORE the gather (the last DMA of the last tile may read past
+    # starts[-1]); padding the gathered array instead would copy the whole
+    # stream a second time
     gid_ext = jnp.concatenate(
-        [stream.gid, jnp.zeros((chunk,), stream.gid.dtype)]
+        [stream.gid, jnp.zeros((chunk + 16,), stream.gid.dtype)]
     )
     pair_feats = table_for_pairs[jnp.maximum(gid_ext, 0)]
     return stream, pair_feats, table, bound_radius
@@ -125,8 +138,9 @@ def render_pallas(
         # kernel march/sort window; 256 = parity-grade ordering window
         chunk = max(32, min(config.march_chunk, 256))
 
+    packed16 = bool(config.packed16) and quad
     stream, pair_feats, _, _ = prepare_pair_stream(
-        scene, camera, config, pair_capacity, chunk
+        scene, camera, config, pair_capacity, chunk, packed16=packed16
     )
 
     origins, dirs, valid = generate_rays(camera, config)
@@ -144,6 +158,7 @@ def render_pallas(
         chunk=chunk,
         interpret=interpret,
         quad=quad,
+        packed16=packed16,
     )
 
     H, W = camera.height, camera.width

@@ -332,6 +332,53 @@ QUAD_CQ = 75
 QUAD_OO = 76
 QUAD_RGB = 77  # cr,cg,cb at 77..79 (sh_degree 0)
 
+# compact 64-column layout of the int16 bit-split table (packed16 path)
+P16_OP = 0
+P16_Q0 = 1   # q00,q11,q22,q01,q02,q12 at 1..6
+P16_V0 = 7   # vx,vy,vz
+P16_CQ = 10
+P16_OO = 11
+P16_SH0 = 12  # rgb0 (sh_degree 0) or 3K SH coeffs (<= 48: 12+48 = 60 <= 64)
+
+
+def feature_table_packed16(table: jnp.ndarray, config: RenderConfig):
+    """Quad-only view of a feature table, EXACT f32 as int16 hi/lo halves.
+
+    The production render's pair gather is BANDWIDTH-bound (PERF.md:
+    f32 (P, 128) rows gather at 4.66 ms, 2-byte rows at 2.54), and the
+    quad response path reads at most 60 of the 128 f32 columns. This
+    packs those 60 into 64 compact f32 columns and stores each as two
+    int16 lanes (hi bits at lane k, lo bits at lane 64 + k): rows shrink
+    to 256 B with NO precision loss (bit-exact f32 round-trip in the
+    kernel, ops/pallas_march._march_kernel packed16 decode) — bf16 halves
+    were rejected because od's cancellation needs full f32 (PERF.md).
+
+    `table` must come from feature_table(..., eye=...) (quad columns
+    present). Returns (N, 128) int16.
+    """
+    k = num_coeffs(config.sh_degree)
+    cols = [
+        table[:, 12:13],  # op
+        table[:, QUAD_Q0:QUAD_Q0 + 6],
+        table[:, QUAD_V0:QUAD_V0 + 3],
+        table[:, QUAD_CQ:QUAD_CQ + 1],
+        table[:, QUAD_OO:QUAD_OO + 1],
+    ]
+    if config.sh_degree == 0:
+        cols.append(table[:, QUAD_RGB:QUAD_RGB + 3])
+    else:
+        cols.append(table[:, 14:14 + 3 * k])  # sh coeffs
+    compact = jnp.concatenate(cols, axis=1)
+    F = compact.shape[1]
+    if F > 64:
+        raise ValueError(f"packed16 layout overflow: {F} > 64 columns")
+    if F < 64:
+        compact = jnp.pad(compact, ((0, 0), (0, 64 - F)))
+    bits = jax.lax.bitcast_convert_type(compact, jnp.int32)
+    hi = jax.lax.shift_right_arithmetic(bits, 16).astype(jnp.int16)
+    lo = (bits & jnp.int32(0xFFFF)).astype(jnp.int16)
+    return jnp.concatenate([hi, lo], axis=1)
+
 
 def unpack_columns(g: jnp.ndarray, n_coeffs: int) -> dict:
     """Split gathered feature rows (..., F) into per-feature (...,) arrays

@@ -55,6 +55,8 @@ _V0 = 72  # v = Q (eye - mu) -> 72..74 (rows 75..79 of the od matmul RHS
 #           are zero, so sharing the 72:80 slice with cq/oo/rgb is safe)
 _CQ, _OO = 75, 76
 _RGB0 = 77  # max(0.5 + C0*sh0, 0) per channel (sh_degree 0)
+# compact int16 bit-split layout (models/tiled.feature_table_packed16)
+_P16_OP, _P16_Q0, _P16_V0, _P16_CQ, _P16_OO, _P16_SH0 = 0, 1, 7, 10, 11, 12
 
 
 def _roll(x: jnp.ndarray, shift: int) -> jnp.ndarray:
@@ -178,6 +180,7 @@ def _march_kernel(
     block_mode: bool,
     save_tin: bool,
     quad: bool,
+    packed16: bool = False,
     full_range: bool = False,
 ):
     rest = list(rest)
@@ -327,8 +330,16 @@ def _march_kernel(
             ofs = blocks_ref[start // c + j] * c
         else:
             ofs = start + j * c
+        if packed16:
+            # int16 rows tile at 16 sublanes: Mosaic requires provably
+            # aligned dynamic row offsets, so fetch from the aligned base
+            # and rotate the decoded panel by the residue in-kernel
+            ofs = (ofs // 16) * 16
+            rows = c + 16
+        else:
+            rows = c
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(ofs, c), :],
+            feats_hbm.at[pl.ds(ofs, rows), :],
             fbuf.at[slot],
             sems.at[slot],
         )
@@ -364,21 +375,40 @@ def _march_kernel(
         @pl.when(jnp.max(t_carry) > config.min_transmittance)
         def _():
             g = fbuf[slot]  # (c, F)
+            if packed16:
+                # int16 bit-split rows (models/tiled.feature_table_packed16):
+                # lanes 0..63 carry f32 bits 31..16, lanes 64..127 bits
+                # 15..0 — exact f32 reassembly, half the HBM bytes. The DMA
+                # fetched c + 16 rows from the 16-aligned base; rotate the
+                # decoded panel so row 0 is the segment's true chunk start.
+                hi = g[:, 0:64].astype(jnp.int32)
+                lo = g[:, 64:128].astype(jnp.int32)
+                gfull = jax.lax.bitcast_convert_type(
+                    jax.lax.shift_left(hi, 16) | (lo & jnp.int32(0xFFFF)),
+                    jnp.float32,
+                )  # (c + 16, 64)
+                delta = (start + j * c) % 16
+                g = pltpu.roll(gfull, (c + 16) - delta, axis=0)[:c, :]
+                iOP, iQ0, iV0 = _P16_OP, _P16_Q0, _P16_V0
+                iCQ, iOO, iSH0, iRGB0 = _P16_CQ, _P16_OO, _P16_SH0, _P16_SH0
+            else:
+                iOP, iQ0, iV0 = _OP, _Q0, _V0
+                iCQ, iOO, iSH0, iRGB0 = _CQ, _OO, _SH0, _RGB0
             col = lambda k: g[:, k : k + 1]  # (c, 1)
-            op = col(_OP)
+            op = col(iOP)
 
             present = cand_idx < (n - j * c)  # (c, 1) tail mask
             if quad:
                 # quadratic-form response (shared origin), f32 VPU
                 # broadcasts: dd = d^T Q d = sum_k q_k * m2_k(d),
                 # od = (eye - mu)^T Q d = v . d; oo/cq per-candidate
-                q = [col(_Q0 + k) for k in range(6)]  # (c, 1) each
+                q = [col(iQ0 + k) for k in range(6)]  # (c, 1) each
                 dd = (q[0] * m2[0] + q[1] * m2[1] + q[2] * m2[2]
                       + q[3] * m2[3] + q[4] * m2[4] + q[5] * m2[5])  # (c, R)
-                od = (col(_V0) * dx + col(_V0 + 1) * dy
-                      + col(_V0 + 2) * dz)  # (c, R)
-                cq = col(_CQ)
-                oo_b = col(_OO)
+                od = (col(iV0) * dx + col(iV0 + 1) * dy
+                      + col(iV0 + 2) * dz)  # (c, R)
+                cq = col(iCQ)
+                oo_b = col(iOO)
                 rcp6 = 1.0 / jnp.maximum(dd, 1e-6)
                 t_star = -od * rcp6
                 pp = oo_b + od * t_star  # oo - od^2/dd
@@ -479,7 +509,7 @@ def _march_kernel(
                 # ~4e-6 relative of the VPU loop; a stacked (3c, K) concat
                 # is rejected by Mosaic — lane-offset mismatch)
                 for ch in range(3):
-                    coef = g[:, _SH0 + ch * K : _SH0 + (ch + 1) * K]  # (c, K)
+                    coef = g[:, iSH0 + ch * K : iSH0 + (ch + 1) * K]  # (c, K)
                     co_hi = coef.astype(jnp.bfloat16)
                     co_lo = (coef - co_hi.astype(f32)).astype(jnp.bfloat16)
                     raw = (
@@ -492,15 +522,15 @@ def _march_kernel(
                 for ch in range(3):
                     if sh_deg == 0:
                         if quad:
-                            colors.append(col(_RGB0 + ch))  # precomputed, clamped
+                            colors.append(col(iRGB0 + ch))  # precomputed, clamped
                         else:
                             colors.append(
-                                jnp.maximum(0.5 + SH_C0 * col(_SH0 + ch * K), 0.0)
+                                jnp.maximum(0.5 + SH_C0 * col(iSH0 + ch * K), 0.0)
                             )  # (c, 1)
                     else:
                         acc_c = jnp.full((c, R), 0.5, f32)
                         for k in range(K):
-                            acc_c += basis[k] * col(_SH0 + ch * K + k)
+                            acc_c += basis[k] * col(iSH0 + ch * K + k)
                         colors.append(jnp.maximum(acc_c, 0.0))  # (c, R)
 
             _composite = functools.partial(_composite_with, t_carry)
@@ -684,7 +714,7 @@ def _march_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "n_tiles", "rays_per_tile", "chunk", "interpret", "save_tin", "quad", "stats"),
+    static_argnames=("config", "n_tiles", "rays_per_tile", "chunk", "interpret", "save_tin", "quad", "stats", "packed16"),
 )
 def pallas_march_stream(
     starts: jnp.ndarray,  # (T+1,) int32
@@ -712,6 +742,9 @@ def pallas_march_stream(
     #   shared ray origin — see models/tiled.feature_table)
     stats: bool = False,  # additionally return the per-tile count of
     #   chunks whose window-sort network ran (telemetry row 4)
+    packed16: bool = False,  # pair_feats is the int16 bit-split quad table
+    #   (models/tiled.feature_table_packed16): half the gather/DMA bytes,
+    #   exact f32 reassembly in-kernel; requires quad, render-only
 ):
     """March every tile over its pair-stream segment.
 
@@ -778,6 +811,10 @@ def pallas_march_stream(
 
     if quad and per_ray_origin:
         raise ValueError("quad response columns assume a shared ray origin")
+    if packed16 and (not quad or save_tin or block_mode):
+        raise ValueError(
+            "packed16 is the render-only quad fast path (no save_tin/blocks)"
+        )
     if config.order in ("window", "merge") and chunk > 256:
         raise ValueError(
             "window/merge order packs the source index in 8 key bits: "
@@ -792,6 +829,7 @@ def pallas_march_stream(
         block_mode=block_mode,
         save_tin=save_tin,
         quad=quad,
+        packed16=packed16,
         # whole-ray marches ([t_min, t_max] windows, no segment chaining):
         # the kernel may use the sqrt/div-free hit test
         full_range=(t_lo is None and t_hi is None and not block_mode
@@ -803,7 +841,10 @@ def pallas_march_stream(
     out_shape = jax.ShapeDtypeStruct((n_tiles, 8, R), jnp.float32)
     scratch = [
         pltpu.VMEM((8, R), jnp.float32),
-        pltpu.VMEM((2, chunk, F), jnp.float32),
+        pltpu.VMEM(
+            (2, chunk + 16, F) if packed16 else (2, chunk, F),
+            jnp.int16 if packed16 else jnp.float32,
+        ),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if save_tin:

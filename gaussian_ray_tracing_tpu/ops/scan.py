@@ -146,13 +146,20 @@ def multi_head_fill(
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     C = len(values)
-    vals = jnp.stack([v.astype(jnp.int32) for v in values], axis=1)  # (N, C)
-    deltas = vals - jnp.concatenate(
-        [jnp.zeros((1, C), jnp.int32), vals[:-1]], axis=0
-    )
-    buf = jnp.zeros((cap + 1, C), jnp.int32).at[first].add(deltas)
+    # C SEPARATE 1-D delta scatters: XLA's TPU scatter costs scale with
+    # update WIDTH far worse than with update count (measured, PERF.md
+    # round 3: (N,) scatter 0.83 ms, (N,3) rows 4.45, (N,5) 4.58 — five
+    # 1-D scatters are 3.07). A (P, C) context GATHER was also tried and
+    # is catastrophically slow for narrow C (19.2 ms at (P,4): narrow
+    # tables tile to (8,128) so every row touches a full 512 B tile row).
+    bufs = []
+    for v in values:
+        v = v.astype(jnp.int32)
+        delta = v - jnp.concatenate([jnp.zeros((1,), jnp.int32), v[:-1]])
+        bufs.append(jnp.zeros((cap + 1,), jnp.int32).at[first].add(delta)[:cap])
+    stacked = jnp.stack(bufs, axis=0)  # (C, cap)
     if use_kernel:
-        out = multi_cumsum_i32(buf[:cap].T)  # (C, cap)
+        out = multi_cumsum_i32(stacked)
         return [out[c] for c in range(C)]
-    out = jnp.cumsum(buf[:cap], axis=0)
-    return [out[:, c] for c in range(C)]
+    out = jnp.cumsum(stacked, axis=1)
+    return [out[c] for c in range(C)]

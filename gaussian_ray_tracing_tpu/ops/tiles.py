@@ -304,22 +304,63 @@ def project_footprints(
                 camera, config,
             )
     elif config.camera_model == CameraModel.FISHEYE:
+        # The raygen (cameras.generate_rays) builds the equisolid LOCAL
+        # unit vector (sin t cos p, sin t sin p, cos t) and maps it through
+        # the NON-orthonormal frame (-U, -V, W) (|U| = |V| ~ 0.58 |W| at
+        # fovY 60): NDC radius therefore encodes the FRAME-NORMALIZED
+        # angle, not the world angle. All footprint math runs on that
+        # local sphere: l = (a/|U|, b/|V|, c/|W|) normalized. (Assuming
+        # world angles under-covered by up to |W|/|V| and was the round-3
+        # fisheye parity failure: interior holes, 22 dB at 720p.)
         rho = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
         rho_safe = jnp.maximum(rho, _EPS)
-        cos_t = jnp.clip(c / rho_safe, -1.0, 1.0)
+        lx, ly, lz = a / ulen, b / vlen, c / wlen
+        ln = jnp.sqrt(jnp.maximum(lx * lx + ly * ly + lz * lz, _EPS * _EPS))
+        cos_t = jnp.clip(lz / ln, -1.0, 1.0)
         theta = jnp.arccos(cos_t)
         f = config.fisheye_focal
         r_ndc = 2.0 * f * jnp.sin(0.5 * theta)
-        planar = jnp.sqrt(jnp.maximum(a * a + b * b, _EPS * _EPS))
-        ndc_x = r_ndc * a / planar
-        ndc_y = r_ndc * b / planar
+        planar = jnp.sqrt(jnp.maximum(lx * lx + ly * ly, _EPS * _EPS))
+        ndc_x = r_ndc * lx / planar
+        ndc_y = r_ndc * ly / planar
         px = (ndc_x + 1.0) * 0.5 * Wpx
         py = (ndc_y + 1.0) * 0.5 * Hpx
-        # angular radius of the bounding sphere; sqrt(2)*f bounds the ndc
-        # stretch of the equisolid map for theta <= pi/2
-        delta = jnp.arcsin(jnp.clip(bound_radius / rho_safe, 0.0, 1.0))
+        # angular radius of the bounding sphere, and a SOUND bound on the
+        # NDC extent of its image under the equisolid map r = 2f sin(t/2):
+        #   radial:      |dr/dtheta| <= f everywhere  ->  f * delta
+        #   tangential:  a cap at polar angle t0 spans azimuth
+        #                dphi = arcsin(sin d / sin t0) (all azimuths when
+        #                sin t0 <= sin d), and its image points lie at
+        #                radius <= r_hi = r(min(t0 + d, pi)); the chord is
+        #                <= r_hi * dphi, capped by r(t0) + r_hi (every cap
+        #                image lies in the origin-centered r_hi disk).
+        # The former sqrt(2)*f*delta formula under-covered caps that near
+        # or wrap the optical axis (all-azimuth spread), which showed as
+        # interior holes vs the oracle (22 dB at 720p, round 3).
+        # world-sphere angular radius of the bounding sphere, mapped to the
+        # LOCAL sphere: the map d -> normalize(L d) (L = diag(1/|U|, 1/|V|,
+        # 1/|W|) in the frame basis) stretches a spherical path by at most
+        # smax / min|L d(s)|, and over the cap |L d(s)| >= |L d0| -
+        # smax * chord — so delta_local <= delta_world * smax / lowb.
+        delta_w = jnp.arcsin(jnp.clip(bound_radius / rho_safe, 0.0, 1.0))
+        smax = jnp.maximum(jnp.maximum(1.0 / ulen, 1.0 / vlen), 1.0 / wlen)
+        smin = jnp.minimum(jnp.minimum(1.0 / ulen, 1.0 / vlen), 1.0 / wlen)
+        lhat = ln / rho_safe  # |L rel_hat|
+        chord = 2.0 * jnp.sin(0.5 * delta_w)
+        lowb = jnp.maximum(smin, lhat - smax * chord)
+        delta = jnp.minimum(delta_w * smax / lowb, jnp.pi)
         inside = rho <= bound_radius
-        r_fp = jnp.where(inside, 4.0, jnp.sqrt(2.0) * f * delta)
+        sin_t0 = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        sin_d = jnp.sin(delta)
+        theta_hi = jnp.minimum(theta + delta, jnp.pi)
+        r_hi = 2.0 * f * jnp.sin(0.5 * theta_hi)
+        dphi = jnp.where(
+            sin_t0 > sin_d,
+            jnp.arcsin(jnp.clip(sin_d / jnp.maximum(sin_t0, _EPS), 0.0, 1.0)),
+            jnp.pi,
+        )
+        tang = jnp.minimum(r_hi * dphi, r_ndc + r_hi)
+        r_fp = jnp.where(inside, 4.0, f * delta + tang)
         rx = r_fp * 0.5 * Wpx
         ry = r_fp * 0.5 * Hpx
         # visible hemisphere: r <= 1 <=> theta <= pi/2 (tracer.cuh:155-159)
@@ -741,10 +782,11 @@ def _bin_pairs_presorted(
     total = offsets[-1] + count[-1] if n else jnp.int32(0)
     first = jnp.minimum(offsets, cap)
 
-    # --- per-pair context: ONE fused multi-channel head fill -----------
-    # (ops/scan.multi_head_fill: one (N, 3) row scatter + one Pallas pass
-    # over the stream for all three scans — the owner-rank forward fill is
-    # a delta fill too, since ranks are increasing along the stream)
+    # --- per-pair context: fused multi-channel head fill ----------------
+    # (ops/scan.multi_head_fill: C 1-D delta scatters + ONE fused Pallas
+    # scan; the owner-rank fill is a delta fill too, ranks increase along
+    # the stream. A (P, k) context gather was tried and measured
+    # CATASTROPHIC — see multi_head_fill's docstring.)
     from gaussian_ray_tracing_tpu.ops.scan import multi_head_fill
 
     ranks = jnp.arange(n, dtype=jnp.int32)

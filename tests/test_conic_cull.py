@@ -199,7 +199,8 @@ class TestRowSpanExpansion:
         scene = random_scene(2500, seed=7)
         cam = Camera.create(width=96, height=64, **CAM)
         cfg = RenderConfig(hit_multiplicity=1, order="key")
-        off = render(scene, cam, cfg, method="tiled", return_aux=True)
+        off = render(scene, cam, cfg.replace(row_span=False), method="tiled",
+                     return_aux=True)
         on = render(scene, cam, cfg.replace(row_span=True), method="tiled",
                     return_aux=True)
         assert int(on["aux"]["n_pairs"]) < int(off["aux"]["n_pairs"])

@@ -46,6 +46,11 @@ def _load(name):
         camera_model=(CameraModel.FISHEYE if fisheye else CameraModel.PINHOLE),
         order="window",
         march_chunk=128,
+        # the XLA tiled path clips per-tile candidate lists at max_per_tile
+        # (the Pallas pair stream has no such cap): hm2_360p's densest tile
+        # holds ~1050 candidates, fisheye's conservative rects more — raise
+        # the cap so drops cannot masquerade as parity failures
+        max_per_tile=4096,
     )
     scene = random_scene(n, seed=seed)
     camera = Camera.create(
@@ -63,10 +68,15 @@ def _psnr(a, b):
 @pytest.mark.parametrize("name", ["pinhole_720p", "fisheye_720", "hm2_360p"])
 def test_fullframe_parity(name):
     ref, scene, camera, config = _load(name)
-    # drop-free capacity: the default 8N bucket silently drops ~2/3 of the
-    # 490k pairs this scene emits at 720p, which reads as a parity failure
-    out = render(scene, camera, config, method="tiled",
-                 pair_capacity=1 << 20, return_aux=True)
+    # drop-free capacity (silently dropped pairs read as parity failures;
+    # fisheye's conservative footprint rects emit ~2.3x the pinhole count)
+    cap = 1 << 20
+    for _ in range(3):
+        out = render(scene, camera, config, method="tiled",
+                     pair_capacity=cap, return_aux=True)
+        if int(out["aux"]["n_dropped"]) == 0:
+            break
+        cap *= 2
     assert int(out["aux"]["n_dropped"]) == 0
     p = _psnr(out["rgb"], ref)
     assert p >= 40.0, f"{name}: full-frame PSNR {p:.2f} < 40 vs exact oracle"
