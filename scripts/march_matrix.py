@@ -67,16 +67,11 @@ def main():
     tw = th = 16
 
     rows = [
-        ("key    q1 sh3 c128      ", dict(order="key"), 3, True, 128),
-        ("key    q0 sh3 c128      ", dict(order="key"), 3, False, 128),
-        ("key    q1 sh0 c128      ", dict(order="key"), 0, True, 128),
-        ("key    q1 sh3 c128 shmxu", dict(order="key", sh_mxu=True), 3, True, 128),
-        ("window q1 sh3 c128      ", dict(order="window"), 3, True, 128),
-        ("window q0 sh3 c128      ", dict(order="window"), 3, False, 128),
-        ("window q1 sh0 c128      ", dict(order="window"), 0, True, 128),
-        ("window q1 sh3 c128 shmxu", dict(order="window", sh_mxu=True), 3, True, 128),
-        ("merge  q1 sh3 c64       ", dict(order="merge"), 3, True, 64),
-        ("merge  q1 sh3 c128      ", dict(order="merge"), 3, True, 128),
+        ("key    q1 sh3 c128 p16", dict(order="key", packed16=True), 3, True, 128),
+        ("key    q1 sh3 c128 f32", dict(order="key", packed16=False), 3, True, 128),
+        ("window q1 sh3 c128 p16", dict(order="window", packed16=True), 3, True, 128),
+        ("window q1 sh3 c128 f32", dict(order="window", packed16=False), 3, True, 128),
+        ("merge  q1 sh3 c64  p16", dict(order="merge", packed16=True), 3, True, 64),
     ]
 
     streams = {}
@@ -85,10 +80,10 @@ def main():
             hit_multiplicity=1, march_chunk=chunk, conic_cull=False,
             sh_degree=sh_deg, **okw,
         )
-        skey = sh_deg
+        skey = (sh_deg, config.packed16)
         if skey not in streams:
             stream, pair_feats, _, _ = prepare_pair_stream(
-                scene, _cam(0), config, CAP, 256
+                scene, _cam(0), config, CAP, 256, packed16=config.packed16
             )
             assert int(stream.n_dropped) == 0, int(stream.n_pairs)
             streams[skey] = (
@@ -106,7 +101,7 @@ def main():
             rgb_t, _ = pallas_march_stream(
                 starts_, eye, feats_, dirs_t, config,
                 n_tiles=tx_n * ty_n, rays_per_tile=tw * th, chunk=chunk,
-                interpret=False, quad=quad,
+                interpret=False, quad=quad, packed16=config.packed16,
             )
             return rgb_t.mean()
 

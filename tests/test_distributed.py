@@ -1,3 +1,5 @@
+import pytest as _pytest_slowmark
+pytestmark = _pytest_slowmark.mark.slow
 """Multi-host (multi-process) entry point tests (BASELINE config 5).
 
 The reference has no distributed anything (single optixLaunch on one

@@ -21,6 +21,9 @@ in tests/test_pallas.py; the kernel's interpret mode is too slow at 720p).
 
 from __future__ import annotations
 
+import pytest as _pytest_slowmark
+pytestmark = _pytest_slowmark.mark.slow  # deselect with -m 'not slow'
+
 import os
 
 import numpy as np
@@ -45,7 +48,10 @@ def _load(name):
         hit_multiplicity=hm,
         camera_model=(CameraModel.FISHEYE if fisheye else CameraModel.PINHOLE),
         order="window",
-        march_chunk=128,
+        # fisheye's parity config is window/256: ordering inversions are
+        # wider under the frame-normalized angular mapping (window/128 is
+        # ~36.5 dB, /256 is 40.3 on the 256^2 probe; PERF.md round 3)
+        march_chunk=256 if fisheye else 128,
         # the XLA tiled path clips per-tile candidate lists at max_per_tile
         # (the Pallas pair stream has no such cap): hm2_360p's densest tile
         # holds ~1050 candidates, fisheye's conservative rects more — raise

@@ -1,3 +1,5 @@
+import pytest as _pytest_slowmark
+pytestmark = _pytest_slowmark.mark.slow
 """Pallas pair-stream march: interpret-mode parity vs the XLA tiled path.
 
 The kernel (ops/pallas_march.py) implements exactly the tiled "key"-order

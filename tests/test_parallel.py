@@ -1,3 +1,5 @@
+import pytest as _pytest_slowmark
+pytestmark = _pytest_slowmark.mark.slow
 """Multi-device tests on the 8-device virtual CPU mesh (BASELINE config 5)."""
 
 import numpy as np
