@@ -299,8 +299,97 @@ class Trainer:
             self._build_step()
 
     def fit(self, views: list[tuple[Camera, jnp.ndarray]], steps: int, log_every: int = 50):
-        losses = []
+        """Fit over the view set.
+
+        Steps run in jit-compiled SEGMENTS (one lax.fori_loop per span
+        between host events — density rounds / the end of training), with
+        the view cameras and targets stacked into device arrays and
+        indexed per step. The round-2 per-step host loop paid ~30 ms of
+        tunnel dispatch per step (plus a loss fetch sync); segments bring
+        a 10k-step dataset fit from hours to minutes on the tunneled chip.
+        Views with heterogeneous sizes fall back to the per-step loop.
+        """
         self._refresh_capacity(views)
+        cam0 = views[0][0]
+        uniform = all(
+            c.width == cam0.width and c.height == cam0.height
+            and c.fov_y_deg == cam0.fov_y_deg for c, _ in views
+        )
+        if not uniform or self._mesh is not None:
+            return self._fit_unbatched(views, steps)
+
+        V = len(views)
+        eyes = jnp.stack([c.eye for c, _ in views])
+        looks = jnp.stack([c.lookat for c, _ in views])
+        ups = jnp.stack([c.up for c, _ in views])
+        targets = jnp.stack([t for _, t in views])
+
+        def _runner(n: int, cap):
+            key = ("seg", n, cap)
+            if key not in self._step_cache:
+                step_fn = self.step_fn
+                with_density = self.density is not None
+
+                @jax.jit
+                def run(state, dstate, start, eyes, looks, ups, targets):
+                    def body(i, carry):
+                        state, dstate, larr = carry
+                        v = jnp.mod(start + i, V)
+                        cam = Camera(eyes[v], looks[v], ups[v],
+                                     cam0.fov_y_deg, cam0.width, cam0.height)
+                        state, metrics = step_fn(state, cam, targets[v])
+                        if with_density:
+                            dstate = dstate.accumulate(
+                                metrics["mean_grads"], camera=cam,
+                                means=state.params.means,
+                            )
+                        larr = larr.at[i].set(metrics["loss"])
+                        return state, dstate, larr
+
+                    larr0 = jnp.zeros((n,), jnp.float32)
+                    return jax.lax.fori_loop(
+                        0, n, body, (state, dstate, larr0)
+                    )
+
+                self._step_cache[key] = run
+            return self._step_cache[key]
+
+        def _next_event(cur: int) -> int:
+            """First step index > cur at which a host-side density event
+            fires (1-indexed like _density_round), else `steps`."""
+            c = self.density
+            best = steps
+            if c is None:
+                return best
+            for p in (c.densify_every, c.opacity_reset_every):
+                if not p:
+                    continue
+                k = (cur // p + 1) * p
+                if k < c.densify_from_step:
+                    k = -(-c.densify_from_step // p) * p
+                if k <= c.densify_until_step:
+                    best = min(best, k)
+            return best
+
+        losses: list[float] = []
+        cur = 0
+        while cur < steps:
+            n = min(_next_event(cur), steps) - cur
+            run = _runner(n, self._pair_capacity)
+            self.state, self.dstate, larr = run(
+                self.state, self.dstate, jnp.int32(cur),
+                eyes, looks, ups, targets,
+            )
+            losses.extend(float(x) for x in larr)
+            cur += n
+            if self.density is not None and cur < steps:
+                changed = self._density_round(cur)
+                if changed:
+                    self._refresh_capacity(views)
+        return losses
+
+    def _fit_unbatched(self, views, steps):
+        losses = []
         for i in range(steps):
             cam, target = views[i % len(views)]
             self.state, metrics = self.step_fn(self.state, cam, target)
