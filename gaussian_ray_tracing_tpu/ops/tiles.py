@@ -350,19 +350,65 @@ def project_footprints(
         lowb = jnp.maximum(smin, lhat - smax * chord)
         delta = jnp.minimum(delta_w * smax / lowb, jnp.pi)
         inside = rho <= bound_radius
+
+        # TIGHT NDC bbox of the cap's image: the local cap lies inside the
+        # polar rectangle theta in [t0 - d, t0 + d], phi in [phi0 - dphi,
+        # phi0 + dphi]; r = 2 f sin(theta/2) is monotone, so every extreme
+        # of (r cos phi, r sin phi) is at a corner or an axis crossing.
+        # Rays only exist for theta <= pi/2 (r <= 1, tracer.cuh:155-159),
+        # so theta_hi clips to the hemisphere — a large cut for side
+        # gaussians. (An isotropic square of radius f*d + r_hi*dphi was
+        # 2-4x looser per axis: 4.5M pairs at 720p fisheye vs ~1.3M.)
         sin_t0 = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-        sin_d = jnp.sin(delta)
-        theta_hi = jnp.minimum(theta + delta, jnp.pi)
+        sin_d = jnp.sin(jnp.minimum(delta, 0.5 * jnp.pi))
+        wrap = (delta >= theta) | (sin_t0 <= sin_d)
+        theta_hi = jnp.clip(theta + delta, 0.0, 0.5 * jnp.pi + 0.02)
+        theta_lo = jnp.where(wrap, 0.0, jnp.maximum(theta - delta, 0.0))
         r_hi = 2.0 * f * jnp.sin(0.5 * theta_hi)
-        dphi = jnp.where(
-            sin_t0 > sin_d,
-            jnp.arcsin(jnp.clip(sin_d / jnp.maximum(sin_t0, _EPS), 0.0, 1.0)),
-            jnp.pi,
+        r_lo = 2.0 * f * jnp.sin(0.5 * theta_lo)
+        cos_dphi = jnp.where(
+            wrap, -1.0,
+            jnp.sqrt(jnp.clip(1.0 - (sin_d / jnp.maximum(sin_t0, _EPS)) ** 2,
+                              0.0, 1.0)),
         )
-        tang = jnp.minimum(r_hi * dphi, r_ndc + r_hi)
-        r_fp = jnp.where(inside, 4.0, f * delta + tang)
-        rx = r_fp * 0.5 * Wpx
-        ry = r_fp * 0.5 * Hpx
+        sin_dphi = jnp.sqrt(jnp.maximum(1.0 - cos_dphi * cos_dphi, 0.0))
+        cphi = lx / planar  # cos(phi0), sin(phi0)
+        sphi = ly / planar
+        # corner azimuth cosines/sines (angle-addition, no trig calls)
+        c1 = cphi * cos_dphi + sphi * sin_dphi  # cos(phi0 - dphi)
+        c2 = cphi * cos_dphi - sphi * sin_dphi  # cos(phi0 + dphi)
+        s1 = sphi * cos_dphi - cphi * sin_dphi  # sin(phi0 - dphi)
+        s2 = sphi * cos_dphi + cphi * sin_dphi  # sin(phi0 + dphi)
+        # contains angle alpha <=> cos(phi0 - alpha) >= cos(dphi)
+        has_xp = cphi >= cos_dphi    # phi = 0     -> x reaches +r_hi
+        has_xm = -cphi >= cos_dphi   # phi = pi    -> x reaches -r_hi
+        has_yp = sphi >= cos_dphi    # phi = pi/2  -> y reaches +r_hi
+        has_ym = -sphi >= cos_dphi   # phi = -pi/2 -> y reaches -r_hi
+        big = jnp.float32(4.0)
+
+        def _extent(cc1, cc2, has_p, has_m):
+            cands_max = jnp.maximum(
+                jnp.maximum(r_lo * cc1, r_hi * cc1),
+                jnp.maximum(r_lo * cc2, r_hi * cc2),
+            )
+            cands_max = jnp.where(has_p, jnp.maximum(cands_max, r_hi), cands_max)
+            cands_min = jnp.minimum(
+                jnp.minimum(r_lo * cc1, r_hi * cc1),
+                jnp.minimum(r_lo * cc2, r_hi * cc2),
+            )
+            cands_min = jnp.where(has_m, jnp.minimum(cands_min, -r_hi), cands_min)
+            return cands_min, cands_max
+
+        x_min, x_max = _extent(c1, c2, has_xp, has_xm)
+        y_min, y_max = _extent(s1, s2, has_yp, has_ym)
+        x_min = jnp.where(inside, -big, x_min)
+        x_max = jnp.where(inside, big, x_max)
+        y_min = jnp.where(inside, -big, y_min)
+        y_max = jnp.where(inside, big, y_max)
+        px = (0.5 * (x_min + x_max) + 1.0) * 0.5 * Wpx
+        py = (0.5 * (y_min + y_max) + 1.0) * 0.5 * Hpx
+        rx = 0.5 * (x_max - x_min) * 0.5 * Wpx
+        ry = 0.5 * (y_max - y_min) * 0.5 * Hpx
         # visible hemisphere: r <= 1 <=> theta <= pi/2 (tracer.cuh:155-159)
         visible = (theta - delta) <= (0.5 * jnp.pi + 0.05)
         depth = rho

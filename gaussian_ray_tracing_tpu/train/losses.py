@@ -38,14 +38,24 @@ def _ssim_window(size: int, sigma: float):
 
 
 def _blur(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Separable depthwise gaussian blur of an NHWC image."""
+    """Separable depthwise gaussian blur of an NHWC image.
+
+    precision=HIGHEST is REQUIRED: TPU lowers default-precision f32 convs
+    through the MXU at bf16 operand precision, and SSIM's variances are
+    cancellation-prone (sigma = blur(x^2) - mu^2, genuine magnitude
+    ~1e-4 on smooth renders vs mu^2 ~1e-1): at bf16 the variances come
+    out garbage-negative, SSIM explodes past 1, and the dssim_l1 loss
+    goes NEGATIVE and diverges training — the round-2 "DSSIM+densify
+    diverges at raised rates" mystery was exactly this, invisible on
+    random-image tests (large variance) and on CPU (exact f32 convs)."""
     c = img.shape[-1]
     size = win.shape[0]
     kh = jnp.tile(win.reshape(size, 1, 1, 1), (1, 1, 1, c))  # HWIO, I=1
     kw = jnp.tile(win.reshape(1, size, 1, 1), (1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(img.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
     conv = lambda x, k: jax.lax.conv_general_dilated(
-        x, k, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+        x, k, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return conv(conv(img, kh), kw)
 
