@@ -59,7 +59,12 @@ class RenderConfig:
     mesh_t_min: float = 1e-5
     mesh_t_max: float = 1e5
     max_bounces: int = 32
-    timeout_iterations: int = 1000
+    # NOTE: the reference's TIMEOUT_ITERATIONS=1000 (shaders/tracer.cuh:13)
+    # guards its UNBOUNDED per-pixel while-loops against runaway traversal.
+    # There is deliberately no equivalent field here: every loop in this
+    # framework is a bounded lax.fori_loop/cond chain (max_bounces for
+    # bounces, n_chunks for the march), so a watchdog cap cannot fire by
+    # construction — a trip count is always statically known to XLA.
     refraction_eps_shift: float = 1e-5
     glass_ior: float = 1.5
     air_ior: float = 1.0003

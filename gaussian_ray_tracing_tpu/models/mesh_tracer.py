@@ -159,7 +159,18 @@ def render_rays_with_mesh(
 
     def body(i, state):
         (o, d, accum_color, accum_alpha, direct_light, blocking, bounces, trans, done) = state
-        live = (~done) & (jnp.sum(d * d, axis=-1) > 0.01) & (bounces < config.max_bounces)
+        # transmittance-dead rays contribute exactly nothing downstream:
+        # the march gates every weight on p_excl > min_transmittance
+        # (shaders/tracer.cuh:341), so rgb_seg = 0 and every later
+        # accumulation term is 0 (direct_light = 0 * density; NORMAL's
+        # normal_color * trans <= minT < 1/2 RGB8 step). Dropping them
+        # here skips their mesh sweeps and gaussian segments entirely.
+        live = (
+            (~done)
+            & (jnp.sum(d * d, axis=-1) > 0.01)
+            & (bounces < config.max_bounces)
+            & (trans > config.min_transmittance)
+        )
 
         hit = closest_hit(o, d, v0, v1, v2, config.mesh_t_min, config.mesh_t_max)
         has_hit = hit.hit & live
@@ -382,6 +393,7 @@ def render_with_mesh_fast(
             (~done)
             & (jnp.sum(d_t * d_t, axis=-1) > 0.01)
             & (bounces < config.max_bounces)
+            & (trans > config.min_transmittance)
         )
         d_live = jnp.where(live[..., None], d_t, 0.0)
         fbundles = bundle_rays(o_t, d_live)
@@ -490,6 +502,7 @@ def render_with_mesh_fast(
             return jnp.any(
                 (~s[8]) & (jnp.sum(s[1] * s[1], axis=-1) > 0.01)
                 & (s[6] < config.max_bounces)
+                & (s[7] > config.min_transmittance)
             )
 
         state = jax.lax.cond(

@@ -100,23 +100,36 @@ class RayBundles(NamedTuple):
 
 
 def bundle_rays(origins_t: jnp.ndarray, dirs_t: jnp.ndarray) -> RayBundles:
-    """Bound each tile's live rays (|d| > 0.1) by origin sphere + dir cone."""
-    live = jnp.sum(dirs_t * dirs_t, axis=-1) > 0.01  # (T, R)
-    nlive = jnp.maximum(jnp.sum(live, axis=-1), 1)
-    lw = live[..., None].astype(origins_t.dtype)
-    o_c = jnp.sum(origins_t * lw, axis=1) / nlive[:, None]
-    o_r = jnp.max(
-        jnp.where(live, jnp.linalg.norm(origins_t - o_c[:, None, :], axis=-1), 0.0),
-        axis=-1,
+    """Bound each tile's live rays (|d| > 0.1) by origin sphere + dir cone.
+
+    All (T, R)-sized math is per-component (no trailing length-3 axis on
+    big intermediates — XLA lane-pads the minor axis to 128, PERF.md
+    fact 1); only the (T, 3) outputs keep the vector layout."""
+    ox, oy, oz = origins_t[..., 0], origins_t[..., 1], origins_t[..., 2]
+    dx, dy, dz = dirs_t[..., 0], dirs_t[..., 1], dirs_t[..., 2]
+    live = dx * dx + dy * dy + dz * dz > 0.01  # (T, R)
+    nlive = jnp.maximum(jnp.sum(live, axis=-1), 1).astype(origins_t.dtype)
+    lw = live.astype(origins_t.dtype)
+    ocx = jnp.sum(ox * lw, axis=1) / nlive  # (T,)
+    ocy = jnp.sum(oy * lw, axis=1) / nlive
+    ocz = jnp.sum(oz * lw, axis=1) / nlive
+    r2 = (
+        (ox - ocx[:, None]) ** 2
+        + (oy - ocy[:, None]) ** 2
+        + (oz - ocz[:, None]) ** 2
     )
-    dsum = jnp.sum(dirs_t * lw, axis=1)
-    axis = dsum / jnp.maximum(jnp.linalg.norm(dsum, axis=-1, keepdims=True), 1e-9)
-    cosd = jnp.sum(dirs_t * axis[:, None, :], axis=-1)  # dirs are unit
+    o_r = jnp.sqrt(jnp.max(jnp.where(live, r2, 0.0), axis=-1))
+    dsx = jnp.sum(dx * lw, axis=1)  # (T,)
+    dsy = jnp.sum(dy * lw, axis=1)
+    dsz = jnp.sum(dz * lw, axis=1)
+    dn = jnp.maximum(jnp.sqrt(dsx * dsx + dsy * dsy + dsz * dsz), 1e-9)
+    ax, ay, az = dsx / dn, dsy / dn, dsz / dn
+    cosd = dx * ax[:, None] + dy * ay[:, None] + dz * az[:, None]
     cos_half = jnp.min(jnp.where(live, cosd, 1.0), axis=-1)
     return RayBundles(
-        o_c=o_c,
+        o_c=jnp.stack([ocx, ocy, ocz], axis=-1),
         o_r=o_r,
-        axis=axis,
+        axis=jnp.stack([ax, ay, az], axis=-1),
         cos_half=jnp.clip(cos_half, -1.0, 1.0),
         any_live=jnp.any(live, axis=-1),
     )
@@ -138,11 +151,19 @@ def cull_blocks(
     segment end from a mesh hit — glass interior segments are short, so a
     per-tile cap culls everything beyond the exit surface).
     """
-    v = index.centers[None, :, :] - bundles.o_c[:, None, :]  # (T, B, 3)
-    dist = jnp.linalg.norm(v, axis=-1)  # (T, B)
+    # per-component (T, B) math — a (T, B, 3) intermediate would lane-pad
+    # the trailing 3 to 128 (PERF.md fact 1: 42x memory)
+    vx = index.centers[None, :, 0] - bundles.o_c[:, None, 0]  # (T, B)
+    vy = index.centers[None, :, 1] - bundles.o_c[:, None, 1]
+    vz = index.centers[None, :, 2] - bundles.o_c[:, None, 2]
+    dist = jnp.sqrt(vx * vx + vy * vy + vz * vz)  # (T, B)
     rr = index.radii[None, :] + bundles.o_r[:, None]
     inside = dist <= rr
-    along = jnp.sum(v * bundles.axis[:, None, :], axis=-1)
+    along = (
+        vx * bundles.axis[:, None, 0]
+        + vy * bundles.axis[:, None, 1]
+        + vz * bundles.axis[:, None, 2]
+    )
     cos_to = along / jnp.maximum(dist, 1e-9)
     ang_to = jnp.arccos(jnp.clip(cos_to, -1.0, 1.0))
     half = jnp.arccos(bundles.cos_half)[:, None]
@@ -183,8 +204,10 @@ def block_stream(
     T, B = visible.shape
     bs = index.block_size
     cap_b = capacity // bs  # expansion runs at block granularity (bs x smaller)
-    dist = jnp.linalg.norm(
-        index.centers[None, :, :] - bundles.o_c[:, None, :], axis=-1
+    dist = jnp.sqrt(
+        (index.centers[None, :, 0] - bundles.o_c[:, None, 0]) ** 2
+        + (index.centers[None, :, 1] - bundles.o_c[:, None, 1]) ** 2
+        + (index.centers[None, :, 2] - bundles.o_c[:, None, 2]) ** 2
     )
     keys = jnp.where(visible, dist, jnp.inf)
     order = jnp.argsort(keys, axis=-1).astype(jnp.int32)  # (T, B) near-to-far

@@ -896,22 +896,15 @@ def _march_bwd_kernel(
     feats_hbm,  # (P_pad, F) float32 features
     tin_hbm,  # (chunk_cap, R) float32 per-chunk carry-in transmittance
     dirs_ref,  # (1, 8, R) rows 0..2 dir, 3 t_lo, 4 t_hi
-    dout_ref,  # (1, 8, R) rows 0..2 d_rgb of this tile, row 3 d_t_final
-    dfeats_hbm,  # OUT (P_pad, F) float32 per-pair feature gradients
-    acc,  # scratch (8, R): row 0 = dT carry
-    fbuf,  # scratch (2, c, F)
-    gbuf,  # scratch (c, F) gradient assembly
-    tbuf,  # scratch (1, R) carry-in transmittance of the current chunk
-    sems,  # DMA sems (2,)
-    wsem,  # write sem
-    tsem,  # tin sem
-    *,
+    *rest,  # [orig_ref (1, 8, R) if per_ray_origin], dout_ref, dfeats_hbm,
+    #         acc, fbuf, gbuf, tbuf, sems, wsem, tsem
     config: RenderConfig,
     c: int,
     R: int,
+    per_ray_origin: bool = False,
 ):
-    """Hand-written backward of the fused march (key or window order,
-    shared origin).
+    """Hand-written backward of the fused march (key or window order;
+    shared origin or per-ray origins).
 
     Runs each tile's chunks in REVERSE, recomputing the forward response /
     prefix-product quantities from the streamed features (flash-attention
@@ -922,7 +915,16 @@ def _march_bwd_kernel(
     then overwritten by the owning tile's later grid step (grid steps are
     sequential). Early-termination is treated as a non-differentiable
     cutoff, as in 3DGRT's backward.
+
+    per_ray_origin: origins ride a second (1, 8, R) ray panel (rows 0..2)
+    exactly as in the forward; o-dependent intermediates (o_g, oo) become
+    (c, R) and their feature gradients gain a lane reduction — this is what
+    lets rolling-shutter and bounced-segment renders train on the fused
+    path (the reference has no backward at all, README.md:2).
     """
+    rest = list(rest)
+    orig_ref = rest.pop(0) if per_ray_origin else None
+    dout_ref, dfeats_hbm, acc, fbuf, gbuf, tbuf, sems, wsem, tsem = rest
     t = pl.program_id(0)
     start = starts_ref[t]
     n = starts_ref[t + 1] - start
@@ -989,9 +991,15 @@ def _march_bwd_kernel(
             m = [col(_M0 + k) for k in range(9)]
             op = col(_OP)
             rad = col(_RAD)
-            ox = ex - col(_MX)
-            oy = ey - col(_MY)
-            oz = ez - col(_MZ)
+            if per_ray_origin:
+                orow = orig_ref[0]  # (8, R)
+                ox = orow[0:1, :] - col(_MX)  # (c, R)
+                oy = orow[1:2, :] - col(_MY)
+                oz = orow[2:3, :] - col(_MZ)
+            else:
+                ox = ex - col(_MX)  # (c, 1)
+                oy = ey - col(_MY)
+                oz = ez - col(_MZ)
 
             # ---- forward recompute (matches _march_kernel, key order) ----
             ogx = m[0] * ox + m[1] * oy + m[2] * oz
@@ -1166,36 +1174,56 @@ def _march_bwd_kernel(
                 d_alpha * resp * notclamp, axis=1, keepdims=True
             )
             d_pp = -0.5 * resp * d_resp * (pp > 0.0).astype(f32)
+            red = lambda x: jnp.sum(x, axis=1, keepdims=True)
             # pp = oo - od^2/dd (dd > eps branch)
-            d_oo = jnp.sum(d_pp, axis=1, keepdims=True)  # (c, 1)
             d_od = d_pp * (-2.0 * od / dd_s)
             d_dd = d_pp * (od * od / (dd_s * dd_s))
-
-            d_ogx = jnp.sum(d_od * dgx, axis=1, keepdims=True) + 2.0 * ogx * d_oo
-            d_ogy = jnp.sum(d_od * dgy, axis=1, keepdims=True) + 2.0 * ogy * d_oo
-            d_ogz = jnp.sum(d_od * dgz, axis=1, keepdims=True) + 2.0 * ogz * d_oo
             d_dgx = d_od * ogx + 2.0 * dgx * d_dd
             d_dgy = d_od * ogy + 2.0 * dgy * d_dd
             d_dgz = d_od * ogz + 2.0 * dgz * d_dd
-
-            red = lambda x: jnp.sum(x, axis=1, keepdims=True)
-            d_m = [
-                red(d_dgx * dx) + d_ogx * ox,
-                red(d_dgx * dy) + d_ogx * oy,
-                red(d_dgx * dz) + d_ogx * oz,
-                red(d_dgy * dx) + d_ogy * ox,
-                red(d_dgy * dy) + d_ogy * oy,
-                red(d_dgy * dz) + d_ogy * oz,
-                red(d_dgz * dx) + d_ogz * ox,
-                red(d_dgz * dy) + d_ogz * oy,
-                red(d_dgz * dz) + d_ogz * oz,
-            ]
+            if per_ray_origin:
+                # o_g and oo are (c, R): keep d_og* per-ray and reduce at
+                # the feature columns instead
+                d_oo = d_pp
+                d_ogx = d_od * dgx + 2.0 * ogx * d_oo
+                d_ogy = d_od * dgy + 2.0 * ogy * d_oo
+                d_ogz = d_od * dgz + 2.0 * ogz * d_oo
+                d_m = [
+                    red(d_dgx * dx + d_ogx * ox),
+                    red(d_dgx * dy + d_ogx * oy),
+                    red(d_dgx * dz + d_ogx * oz),
+                    red(d_dgy * dx + d_ogy * ox),
+                    red(d_dgy * dy + d_ogy * oy),
+                    red(d_dgy * dz + d_ogy * oz),
+                    red(d_dgz * dx + d_ogz * ox),
+                    red(d_dgz * dy + d_ogz * oy),
+                    red(d_dgz * dz + d_ogz * oz),
+                ]
+                d_ox = red(m[0] * d_ogx + m[3] * d_ogy + m[6] * d_ogz)
+                d_oy = red(m[1] * d_ogx + m[4] * d_ogy + m[7] * d_ogz)
+                d_oz = red(m[2] * d_ogx + m[5] * d_ogy + m[8] * d_ogz)
+            else:
+                d_oo = red(d_pp)  # (c, 1)
+                d_ogx = red(d_od * dgx) + 2.0 * ogx * d_oo
+                d_ogy = red(d_od * dgy) + 2.0 * ogy * d_oo
+                d_ogz = red(d_od * dgz) + 2.0 * ogz * d_oo
+                d_m = [
+                    red(d_dgx * dx) + d_ogx * ox,
+                    red(d_dgx * dy) + d_ogx * oy,
+                    red(d_dgx * dz) + d_ogx * oz,
+                    red(d_dgy * dx) + d_ogy * ox,
+                    red(d_dgy * dy) + d_ogy * oy,
+                    red(d_dgy * dz) + d_ogy * oz,
+                    red(d_dgz * dx) + d_ogz * ox,
+                    red(d_dgz * dy) + d_ogz * oy,
+                    red(d_dgz * dz) + d_ogz * oz,
+                ]
+                d_ox = m[0] * d_ogx + m[3] * d_ogy + m[6] * d_ogz
+                d_oy = m[1] * d_ogx + m[4] * d_ogy + m[7] * d_ogz
+                d_oz = m[2] * d_ogx + m[5] * d_ogy + m[8] * d_ogz
             for k in range(9):
                 gbuf[:, _M0 + k : _M0 + k + 1] = d_m[k]
-            d_ox = m[0] * d_ogx + m[3] * d_ogy + m[6] * d_ogz
-            d_oy = m[1] * d_ogx + m[4] * d_ogy + m[7] * d_ogz
-            d_oz = m[2] * d_ogx + m[5] * d_ogy + m[8] * d_ogz
-            gbuf[:, _MX : _MX + 1] = -d_ox  # ox = eye - mx
+            gbuf[:, _MX : _MX + 1] = -d_ox  # ox = origin_x - mx
             gbuf[:, _MY : _MY + 1] = -d_oy
             gbuf[:, _MZ : _MZ + 1] = -d_oz
             # rad only gates hits (discontinuous): zero grad, as in 3DGRT
@@ -1228,27 +1256,57 @@ def pallas_march_bwd(
     rays_per_tile: int,
     chunk: int,
     interpret: bool = False,
+    origins_t: jnp.ndarray | None = None,  # (T, R, 3) per-ray origins
+    t_lo: jnp.ndarray | None = None,  # (T, R) per-ray window
+    t_hi: jnp.ndarray | None = None,
 ):
-    """d(pair_feats) for the shared-origin march (key or window order)."""
+    """d(pair_feats) for the fused march (key or window order; shared
+    origin, or per-ray origins/windows for rolling-shutter and bounced
+    segments)."""
     R = rays_per_tile
     F = pair_feats.shape[1]
     dirs_pack = jnp.zeros((n_tiles, 8, R), jnp.float32)
     dirs_pack = dirs_pack.at[:, 0:3, :].set(jnp.transpose(dirs_t, (0, 2, 1)))
-    dirs_pack = dirs_pack.at[:, 3, :].set(config.t_min)
-    dirs_pack = dirs_pack.at[:, 4, :].set(config.t_max)
+    dirs_pack = dirs_pack.at[:, 3, :].set(
+        jnp.full((n_tiles, R), config.t_min, jnp.float32) if t_lo is None else t_lo
+    )
+    dirs_pack = dirs_pack.at[:, 4, :].set(
+        jnp.full((n_tiles, R), config.t_max, jnp.float32) if t_hi is None else t_hi
+    )
     dout_pack = jnp.zeros((n_tiles, 8, R), jnp.float32)
     dout_pack = dout_pack.at[:, 0:3, :].set(jnp.transpose(d_rgb_t, (0, 2, 1)))
     dout_pack = dout_pack.at[:, 3, :].set(d_tfinal)
 
-    kernel = functools.partial(_march_bwd_kernel, config=config, c=chunk, R=R)
+    per_ray_origin = origins_t is not None
+    inputs = [starts, eye, chunk_base, pair_feats, tin, dirs_pack]
+    ray_specs = [
+        pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if per_ray_origin:
+        orig_pack = jnp.zeros((n_tiles, 8, R), jnp.float32)
+        orig_pack = orig_pack.at[:, 0:3, :].set(
+            jnp.transpose(origins_t, (0, 2, 1)).astype(jnp.float32)
+        )
+        inputs.append(orig_pack)
+        ray_specs.append(
+            pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+    inputs.append(dout_pack)
+    ray_specs.append(
+        pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    )
+
+    kernel = functools.partial(
+        _march_bwd_kernel, config=config, c=chunk, R=R,
+        per_ray_origin=per_ray_origin,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # features
             pl.BlockSpec(memory_space=pltpu.ANY),  # tin
-            pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            *ray_specs,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
@@ -1266,7 +1324,7 @@ def pallas_march_bwd(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(pair_feats.shape, jnp.float32),
         interpret=interpret,
-    )(starts, eye, chunk_base, pair_feats, tin, dirs_pack, dout_pack)
+    )(*inputs)
     # rows outside [starts[0], starts[T]) are never written by any of THESE
     # tiles (starts[0] != 0 when a shard owns an interior tile range)
     slot = jnp.arange(pair_feats.shape[0], dtype=jnp.int32)
@@ -1281,10 +1339,11 @@ def march_stream_diff(
     starts, eye, pair_feats, dirs_t,
     config: RenderConfig, n_tiles: int, rays_per_tile: int, chunk: int,
     interpret: bool, quad: bool = False,
+    origins_t=None, t_lo=None, t_hi=None, t0=None,
 ):
-    """Differentiable fused march (key or window order, shared origin): the
-    forward is the Pallas march kernel, the backward is the hand-written
-    reverse-sweep kernel producing d(pair_feats) (BASELINE north star: fused kernels with
+    """Differentiable fused march (key or window order): the forward is the
+    Pallas march kernel, the backward is the hand-written reverse-sweep
+    kernel producing d(pair_feats) (BASELINE north star: fused kernels with
     a hand-written backward for means/covariance/opacity/SH — the feature
     rows carry exactly those).
 
@@ -1293,7 +1352,13 @@ def march_stream_diff(
     scalar form (gradients agree to f32 rounding). Window order keeps the
     scalar forward: its backward replays the forward's sort network
     BIT-EXACTLY, and a quad-vs-scalar rounding difference in the 16-bit
-    key quantization could diverge the replayed permutation."""
+    key quantization could diverge the replayed permutation.
+
+    origins_t / t_lo / t_hi / t0 (all optional, differentiated as zero —
+    ray geometry is non-diff like dirs_t): per-ray origins, march windows,
+    and carry-in transmittance, enabling TRAINING through rolling-shutter
+    renders and bounced segments (the quad fast path stays shared-origin:
+    its feature columns bake the eye in)."""
     if config.order == "merge":
         raise ValueError(
             "order='merge' is a forward-render optimization; train with "
@@ -1305,20 +1370,24 @@ def march_stream_diff(
         starts, eye, pair_feats, dirs_t, config,
         n_tiles=n_tiles, rays_per_tile=rays_per_tile, chunk=chunk,
         interpret=interpret, quad=quad,
+        origins_t=origins_t, t_lo=t_lo, t_hi=t_hi, t0=t0,
     )
     return rgb, t_final
 
 
 def _march_diff_fwd(starts, eye, pair_feats, dirs_t, config, n_tiles,
-                    rays_per_tile, chunk, interpret, quad=False):
+                    rays_per_tile, chunk, interpret, quad=False,
+                    origins_t=None, t_lo=None, t_hi=None, t0=None):
     if quad and config.order != "key":
         raise ValueError("quad training requires order='key'")
     rgb, t_final, tin, chunk_base = pallas_march_stream(
         starts, eye, pair_feats, dirs_t, config,
         n_tiles=n_tiles, rays_per_tile=rays_per_tile, chunk=chunk,
         interpret=interpret, save_tin=True, quad=quad,
+        origins_t=origins_t, t_lo=t_lo, t_hi=t_hi, t0=t0,
     )
-    res = (starts, eye, pair_feats, dirs_t, tin, chunk_base)
+    res = (starts, eye, pair_feats, dirs_t, tin, chunk_base,
+           origins_t, t_lo, t_hi, t0)
     return (rgb, t_final), res
 
 
@@ -1326,15 +1395,18 @@ def _march_diff_bwd(config, n_tiles, rays_per_tile, chunk, interpret, quad,
                     res, ct):
     import numpy as _np
 
-    starts, eye, pair_feats, dirs_t, tin, chunk_base = res
+    (starts, eye, pair_feats, dirs_t, tin, chunk_base,
+     origins_t, t_lo, t_hi, t0) = res
     d_rgb_t, d_tfinal = ct
     d_feats = pallas_march_bwd(
         starts, eye, pair_feats, dirs_t, tin, chunk_base, d_rgb_t, d_tfinal,
         config, n_tiles=n_tiles, rays_per_tile=rays_per_tile, chunk=chunk,
-        interpret=interpret,
+        interpret=interpret, origins_t=origins_t, t_lo=t_lo, t_hi=t_hi,
     )
     d_starts = _np.zeros(starts.shape, dtype=jax.dtypes.float0)
-    return d_starts, jnp.zeros_like(eye), d_feats, jnp.zeros_like(dirs_t)
+    zlike = lambda x: None if x is None else jnp.zeros_like(x)
+    return (d_starts, jnp.zeros_like(eye), d_feats, jnp.zeros_like(dirs_t),
+            zlike(origins_t), zlike(t_lo), zlike(t_hi), zlike(t0))
 
 
 march_stream_diff.defvjp(_march_diff_fwd, _march_diff_bwd)

@@ -66,9 +66,11 @@ def _bitonic_jnp(key, payloads, c):
     return key, payloads
 
 
-def replica_march(starts, eye, feats, dirs_t, cfg, n_tiles, R, c):
+def replica_march(starts, eye, feats, dirs_t, cfg, n_tiles, R, c,
+                  origins_t=None, t_lo_t=None, t_hi_t=None, t0_t=None):
     """Differentiable jnp replica of the window-order march over the pair
-    stream (shared origin, sh_degree 0)."""
+    stream (sh_degree 0; optional per-ray origins / [t_lo, t_hi] windows /
+    carry-in transmittance, mirroring pallas_march_stream's extras)."""
     f32 = jnp.float32
     K = num_coeffs(cfg.sh_degree)
     assert cfg.sh_degree == 0
@@ -87,9 +89,12 @@ def replica_march(starts, eye, feats, dirs_t, cfg, n_tiles, R, c):
         dy = dirs[:, 1][None, :]
         dz = dirs[:, 2][None, :]
         live = dx * dx + dy * dy + dz * dz > 0.01
-        t_lo = jnp.full((1, R), cfg.t_min, f32)
-        t_hi = jnp.full((1, R), cfg.t_max, f32)
-        t_carry = jnp.ones((1, R), f32)
+        t_lo = (jnp.full((1, R), cfg.t_min, f32) if t_lo_t is None
+                else t_lo_t[tid][None, :])
+        t_hi = (jnp.full((1, R), cfg.t_max, f32) if t_hi_t is None
+                else t_hi_t[tid][None, :])
+        t_carry = (jnp.ones((1, R), f32) if t0_t is None
+                   else t0_t[tid][None, :].astype(f32))
         acc = jnp.zeros((3, R), f32)
         cand_idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
         for j in range(n_chunks):
@@ -99,9 +104,14 @@ def replica_march(starts, eye, feats, dirs_t, cfg, n_tiles, R, c):
             m = [col(_M0 + k) for k in range(9)]
             op = col(_OP)
             rad = col(_RAD)
-            ox = ex - col(_MX)
-            oy = ey - col(_MY_)
-            oz = ez - col(_MZ_)
+            if origins_t is not None:
+                ox = origins_t[tid][:, 0][None, :] - col(_MX)  # (c, R)
+                oy = origins_t[tid][:, 1][None, :] - col(_MY_)
+                oz = origins_t[tid][:, 2][None, :] - col(_MZ_)
+            else:
+                ox = ex - col(_MX)
+                oy = ey - col(_MY_)
+                oz = ez - col(_MZ_)
             ogx = m[0] * ox + m[1] * oy + m[2] * oz
             ogy = m[3] * ox + m[4] * oy + m[5] * oz
             ogz = m[6] * ox + m[7] * oy + m[8] * oz

@@ -301,6 +301,73 @@ class TestHandWrittenBackward:
         assert np.isfinite(gk).all()
         assert np.abs(gk - gr).max() / scale < 1e-3
 
+    @pytest.mark.parametrize("order", ["key", "window"])
+    def test_per_ray_origin_grads_match_jnp_replica(self, order):
+        """Per-ray-origin + per-ray-window backward (the rolling-shutter /
+        bounced-segment training path, VERDICT r2 item 7) vs autodiff of the
+        jnp replica extended with the same extras. Origins are jittered
+        around the eye and each ray gets its own [t_lo, t_hi] window and
+        carry-in transmittance, so every per-ray branch of the backward
+        (o_g/oo at (c, R), lane-reduced mean grads, window-honoring gate)
+        is exercised."""
+        import jax
+
+        from gaussian_ray_tracing_tpu.cameras import generate_rays
+        from gaussian_ray_tracing_tpu.models.pallas_renderer import (
+            prepare_pair_stream,
+        )
+        from gaussian_ray_tracing_tpu.models.tiled import tile_rays
+        from gaussian_ray_tracing_tpu.ops.pallas_march import march_stream_diff
+        from gaussian_ray_tracing_tpu.ops.sh import num_coeffs
+        from gaussian_ray_tracing_tpu.ops.tiles import num_tiles
+        from scripts.window_bwd_replica import replica_march
+
+        c = 32
+        cfg = CFG.replace(order=order, march_chunk=c,
+                          min_transmittance=1e-8)
+        scene = random_scene(300, seed=6)
+        cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                            width=32, height=16)
+        stream, pair_feats, _, _ = prepare_pair_stream(scene, cam, cfg,
+                                                       50_000, c)
+        _, dirs, _ = generate_rays(cam, cfg)
+        dirs_t = tile_rays(dirs, cfg.tile_w, cfg.tile_h)
+        tx_n, ty_n = num_tiles(cam, cfg)
+        T, R = tx_n * ty_n, cfg.rays_per_tile
+        eye = cam.eye.astype(jnp.float32)
+        k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 4)
+        origins_t = eye + 0.05 * jax.random.normal(k0, (T, R, 3))
+        t_lo = 0.05 + 0.05 * jax.random.uniform(k1, (T, R))
+        t_hi = 3.0 + jax.random.uniform(k2, (T, R))
+        t0 = 0.6 + 0.4 * jax.random.uniform(k3, (T, R))
+        W = jax.random.normal(jax.random.PRNGKey(0), (T, R, 3))
+
+        def loss_kernel(feats):
+            rgb, _ = march_stream_diff(
+                stream.starts, eye, feats, dirs_t, cfg, T, R, c, True,
+                False, origins_t, t_lo, t_hi, t0,
+            )
+            return jnp.sum(rgb * W)
+
+        def loss_replica(feats):
+            rgb, _ = replica_march(
+                stream.starts, eye, feats, dirs_t, cfg, T, R, c,
+                origins_t=origins_t, t_lo_t=t_lo, t_hi_t=t_hi, t0_t=t0,
+            )
+            return jnp.sum(rgb * W)
+
+        lk = float(loss_kernel(pair_feats))
+        lr = float(loss_replica(pair_feats))
+        assert abs(lk - lr) / (abs(lr) + 1e-12) < 1e-4
+
+        gk = np.asarray(jax.grad(loss_kernel)(pair_feats))
+        gr = np.asarray(jax.grad(loss_replica)(pair_feats))
+        Fw = 14 + 3 * num_coeffs(cfg.sh_degree)
+        gk, gr = gk[:, :Fw], gr[:, :Fw]
+        scale = np.abs(gr).max() + 1e-12
+        assert np.isfinite(gk).all()
+        assert np.abs(gk - gr).max() / scale < 1e-3
+
     def test_window_grads_match_tiled_window_autodiff(self):
         """WINDOW-order hand-written backward vs XLA autodiff of the tiled
         window path. The semantics differ slightly by construction — the
