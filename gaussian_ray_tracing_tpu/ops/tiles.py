@@ -837,7 +837,25 @@ def _bin_pairs_presorted(
 
     ranks = jnp.arange(n, dtype=jnp.int32)
     packedv = jax.lax.shift_left(x0, by + bsw) | jax.lax.shift_left(y0, bsw) | sw
-    fill_vals = [ranks + 1, offsets, packedv]
+    # rank + offset share ONE channel when they fit int31: the within-
+    # gaussian pair index r = slot - offsets[owner] is < count <= n_tiles,
+    # so only the low n_tiles.bit_length() offset bits matter (the
+    # subtraction is exact mod 2^b_off). Deltas of the packed value
+    # telescope exactly through the scatter+cumsum (integer sums), so the
+    # fill reconstructs the packed value bit-for-bit. One fewer 1-D
+    # scatter (~0.8 ms at the bench config, PERF.md scatter-rate law).
+    rank_bits_n = max(1, n.bit_length())  # ranks + 1 <= n
+    b_off = max(1, n_tiles.bit_length())  # r < count <= n_tiles
+    pack_off = rank_bits_n + b_off <= 31
+    if pack_off:
+        off_mask = (1 << b_off) - 1
+        fill_vals = [
+            jax.lax.shift_left(ranks + 1, b_off) | (offsets & off_mask),
+            packedv,
+        ]
+    else:
+        fill_vals = [ranks + 1, offsets, packedv]
+    base = len(fill_vals)
     n_span = 0
     if span_chans is not None:
         fill_vals += list(span_chans)
@@ -846,16 +864,20 @@ def _bin_pairs_presorted(
         bc = jax.lax.bitcast_convert_type
         fill_vals += [bc(g[order], jnp.int32) for g in conics]
     filled = multi_head_fill(first, fill_vals, cap)
-    rank_f, off_pair, packed = filled[:3]
-    gsrc = rank_f - 1  # (P,)
     slot = jnp.arange(cap, dtype=jnp.int32)
+    if pack_off:
+        ch0, packed = filled[0], filled[1]
+        rank_f = jax.lax.shift_right_logical(ch0, b_off)
+        r = (slot - (ch0 & off_mask)) & off_mask
+    else:
+        rank_f, off_pair, packed = filled[:3]
+        r = slot - off_pair
+    gsrc = rank_f - 1  # (P,)
     valid = (slot < jnp.minimum(total, cap)) & (gsrc >= 0)
 
     sw_p = packed & ((1 << bsw) - 1)
     y0_p = jax.lax.shift_right_logical(packed, bsw) & ((1 << by) - 1)
     x0_p = jax.lax.shift_right_logical(packed, by + bsw)
-
-    r = slot - off_pair
     # integer div/mod have no VPU hardware path; float reciprocal math is
     # exact here (r, sw < 2^24)
     swf = sw_p.astype(jnp.float32)
@@ -863,7 +885,7 @@ def _bin_pairs_presorted(
         # 3-zone decode: row 0 spans [d0, d0+w0), middles the full width,
         # the last row [d1, d1+w1) (sh == 1: row 0 only; w == 0 rows are
         # skipped by the layout itself)
-        chb, chc = filled[3], filled[4]
+        chb, chc = filled[base], filled[base + 1]
         mask_sw = (1 << bsw) - 1
         w0p = chb & mask_sw
         d0p = jax.lax.shift_right_logical(chb, bsw)
@@ -893,7 +915,8 @@ def _bin_pairs_presorted(
         # center the tile contains)
         bc = jax.lax.bitcast_convert_type
         gc = tuple(
-            bc(v, jnp.float32) for v in filled[3 + n_span : 9 + n_span]
+            bc(v, jnp.float32)
+            for v in filled[base + n_span : base + 6 + n_span]
         )
         tx_p = x0_p + col
         ty_p = y0_p + q + (0 if tile_rows is None else tile_rows[0])
