@@ -275,8 +275,8 @@ def _march_kernel(
         )
         return rgb_part, t_next
 
-    def _pack_colors(colors, Rg=R):
-        """3 x (c, 1)|(c, Rg) colors in [0, 4) -> (c, Rg) int32, 3x10 bits
+    def _pack_colors(colors):
+        """3 x (c, 1)|(c, R) colors in [0, 4) -> (c, R) int32, 3x10 bits
         (1/256 steps; output is RGB8-quantized anyway, tracer.cuh:484)."""
         q = lambda x: jnp.clip(x * 255.75, 0.0, 1023.0).astype(jnp.int32)
         cp = (
@@ -284,7 +284,7 @@ def _march_kernel(
             | jax.lax.shift_left(q(colors[1]), 10)
             | q(colors[2])
         )
-        return jnp.broadcast_to(cp, (c, Rg))
+        return jnp.broadcast_to(cp, (c, R))
 
     def _unpack_colors(cp):
         unq = lambda x: x.astype(f32) * (1.0 / 255.75)
@@ -615,24 +615,14 @@ def _march_kernel(
                 # an adjacent-pair test, which both misses inversions
                 # straddling gated-out candidates and fires spuriously when
                 # any gated-out candidate precedes a real hit.
-                #
-                # The chunk's lanes run in independent 128-lane GROUPS (the
-                # VPU register width): a (c, R) op costs exactly R/128x the
-                # (c, 128) op, so the split is free when no group fires,
-                # and an inversion confined to one half of the tile pays a
-                # half-width network instead of the full (c, R) one (the
-                # per-ray sort is per-lane, so group boundaries cannot
-                # change any ray's result). Render-only: the training
-                # forward (save_tin) keeps the whole-chunk branch so the
-                # hand-written backward replays its sort decisions
-                # bit-exactly.
-                n_groups = (
-                    R // 128 if (not save_tin and R % 128 == 0 and R > 128)
-                    else 1
-                )
-                gw = R // n_groups
+                sig_t = jnp.where(a > 0.0, t_key, -jnp.inf)
+                rmax = _running_max_excl(sig_t, cand_idx)
+                has_inv = jnp.any((a > 0.0) & (t_key < rmax))
+                # sort-fire telemetry in the spare acc row (1 VPU op/chunk;
+                # surfaced by pallas_march_stream(stats=True))
+                acc[4:5, :] = acc[4:5, :] + jnp.where(has_inv, 1.0, 0.0)
 
-                def _sorted_branch(a_, t_event_, colors_g, t_carry_g, Rg):
+                def _sorted_branch(a_, t_event_):
                     # pack (paid only when the network runs). Two variants:
                     #
                     # Training (save_tin): the key is UNIQUE per lane —
@@ -661,14 +651,14 @@ def _march_kernel(
                     tq = jnp.clip(
                         (t_event_ - t_min_c) * (65534.0 / t_rng), 0.0, 65534.0
                     ).astype(jnp.int32)
-                    cpack = _pack_colors(colors_g, Rg)
+                    cpack = _pack_colors(colors)
                     if save_tin:
-                        src = jax.lax.broadcasted_iota(jnp.int32, (c, Rg), 0)
+                        src = jax.lax.broadcasted_iota(jnp.int32, (c, R), 0)
                         zbase = jnp.int32(65535 << 8)
                         skey = jnp.where(
                             a_ > 0.0, jax.lax.shift_left(tq, 8), zbase
                         ) | src
-                        apay = jnp.broadcast_to(a_, (c, Rg))
+                        apay = jnp.broadcast_to(a_, (c, R))
                         _, (cpack_s, a_s) = _bitonic_sort(
                             skey, (cpack, apay), c
                         )
@@ -682,7 +672,7 @@ def _march_kernel(
                             jax.lax.shift_left(tq, 15) | aq,
                             zbase,
                         )
-                        skey = jnp.broadcast_to(skey, (c, Rg))
+                        skey = jnp.broadcast_to(skey, (c, R))
                         skey_s, (cpack_s,) = _bitonic_sort(
                             skey, (cpack,), c
                         )
@@ -691,55 +681,13 @@ def _march_kernel(
                             0.0,
                             (skey_s & 32767).astype(f32) * (1.0 / 32767.0),
                         )
-                    return _composite_with(
-                        t_carry_g, a_s, _unpack_colors(cpack_s)
-                    )
+                    return _composite(a_s, _unpack_colors(cpack_s))
 
-                def _lane(x, gi):
-                    return (
-                        x if x.shape[1] == 1
-                        else x[:, gi * gw:(gi + 1) * gw]
-                    )
-
-                rgb_parts, t_nexts, fired = [], [], []
-                for gi in range(n_groups):
-                    a_g = _lane(a, gi)
-                    t_g = _lane(t_key, gi)
-                    colors_g = [_lane(ci, gi) for ci in colors]
-                    tc_g = _lane(t_carry, gi)
-                    sig_t = jnp.where(a_g > 0.0, t_g, -jnp.inf)
-                    rmax = _running_max_excl(sig_t, cand_idx)
-                    has_inv = jnp.any((a_g > 0.0) & (t_g < rmax))
-                    fired.append(
-                        jnp.full((1, gw), 1.0, f32)
-                        * jnp.where(has_inv, 1.0, 0.0)
-                    )
-                    rgb_g, t_n_g = jax.lax.cond(
-                        has_inv,
-                        functools.partial(
-                            _sorted_branch, colors_g=colors_g,
-                            t_carry_g=tc_g, Rg=gw,
-                        ),
-                        lambda a_, t_, tc=tc_g, cg=colors_g: _composite_with(
-                            tc, a_, cg
-                        ),
-                        a_g, t_g,
-                    )
-                    rgb_parts.append(rgb_g)
-                    t_nexts.append(t_n_g)
-                rgb_part = (
-                    rgb_parts[0] if n_groups == 1
-                    else jnp.concatenate(rgb_parts, axis=1)
-                )
-                t_next = (
-                    t_nexts[0] if n_groups == 1
-                    else jnp.concatenate(t_nexts, axis=1)
-                )
-                # sort-fire telemetry in the spare acc row (per lane group;
-                # surfaced by pallas_march_stream(stats=True))
-                acc[4:5, :] = acc[4:5, :] + (
-                    fired[0] if n_groups == 1
-                    else jnp.concatenate(fired, axis=1)
+                rgb_part, t_next = jax.lax.cond(
+                    has_inv,
+                    _sorted_branch,
+                    lambda a_, t_: _composite(a_, colors),
+                    a, t_key,
                 )
             else:
                 rgb_part, t_next = _composite(a, colors)
