@@ -177,6 +177,19 @@ class RenderConfig:
     # the VPU is saturated and the MXU idle: measured +3.1 ms there and
     # -2.7 ms in key order (PERF.md round-3 kernel matrix).
     sh_mxu: bool = True
+    # Split the window sort's fire test + network into independent 128-lane
+    # groups (render-only; R must be a multiple of 128). The idea: a (c, R)
+    # sort network costs R/128x the (c, 128) one, so an inversion confined
+    # to one half of the tile would pay a half-width network. Implemented
+    # Mosaic-legally (per-group VMEM carry loads + per-group acc stores; a
+    # register slice of the (1, R) carry has a lane-offset layout whose
+    # broadcast Mosaic rejects — the round-3 bench regression). DEFAULT
+    # OFF: the on-chip A/B (quick_ab, r4) measured 26.35 ms vs 25.61 at
+    # the 720p/100k bench config — the bench scene's inversions span whole
+    # gaussians (both lane groups fire together) so the split only adds
+    # per-group cond/bookkeeping overhead. Kept for scenes with localized
+    # inversions.
+    sort_lane_groups: bool = False
     # Compute/composite dtype for the fast path ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Use the fused Pallas kernel for the per-tile march (False = pure-JAX path).

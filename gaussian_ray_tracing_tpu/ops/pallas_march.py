@@ -275,8 +275,8 @@ def _march_kernel(
         )
         return rgb_part, t_next
 
-    def _pack_colors(colors):
-        """3 x (c, 1)|(c, R) colors in [0, 4) -> (c, R) int32, 3x10 bits
+    def _pack_colors(colors, Rg=R):
+        """3 x (c, 1)|(c, Rg) colors in [0, 4) -> (c, Rg) int32, 3x10 bits
         (1/256 steps; output is RGB8-quantized anyway, tracer.cuh:484)."""
         q = lambda x: jnp.clip(x * 255.75, 0.0, 1023.0).astype(jnp.int32)
         cp = (
@@ -284,7 +284,7 @@ def _march_kernel(
             | jax.lax.shift_left(q(colors[1]), 10)
             | q(colors[2])
         )
-        return jnp.broadcast_to(cp, (c, R))
+        return jnp.broadcast_to(cp, (c, Rg))
 
     def _unpack_colors(cp):
         unq = lambda x: x.astype(f32) * (1.0 / 255.75)
@@ -615,14 +615,35 @@ def _march_kernel(
                 # an adjacent-pair test, which both misses inversions
                 # straddling gated-out candidates and fires spuriously when
                 # any gated-out candidate precedes a real hit.
-                sig_t = jnp.where(a > 0.0, t_key, -jnp.inf)
-                rmax = _running_max_excl(sig_t, cand_idx)
-                has_inv = jnp.any((a > 0.0) & (t_key < rmax))
-                # sort-fire telemetry in the spare acc row (1 VPU op/chunk;
-                # surfaced by pallas_march_stream(stats=True))
-                acc[4:5, :] = acc[4:5, :] + jnp.where(has_inv, 1.0, 0.0)
+                #
+                # The chunk's lanes run in independent 128-lane GROUPS (the
+                # VPU register width): a (c, R) op costs exactly R/128x the
+                # (c, 128) op, so the split is free when no group fires, and
+                # an inversion confined to one half of the tile pays a
+                # half-width network instead of the full (c, R) one (the
+                # per-ray sort is per-lane, so group boundaries cannot
+                # change any ray's result). Mosaic legality (the round-3
+                # bench regression): every per-group operand must be either
+                # a (c, R) register value vreg-column-sliced to (c, gw), a
+                # fresh VMEM load, or a scalar — NEVER a register slice of
+                # a (1, R) value, whose lane-offset layout cannot legally
+                # broadcast to (c, gw) ("Invalid input layout"
+                # vector.broadcast (1,128)->(128,128), BENCH_r03). The
+                # carry therefore reloads per group from the acc ref, and
+                # results store straight to per-group acc lane slices (no
+                # cross-group concatenate). Render-only: the training
+                # forward (save_tin) keeps the whole-chunk branch so the
+                # hand-written backward replays its sort decisions
+                # bit-exactly.
+                n_groups = (
+                    R // 128
+                    if (config.sort_lane_groups and not save_tin
+                        and R % 128 == 0 and R > 128)
+                    else 1
+                )
+                gw = R // n_groups
 
-                def _sorted_branch(a_, t_event_):
+                def _sorted_branch(a_, t_event_, colors_g, tc_g):
                     # pack (paid only when the network runs). Two variants:
                     #
                     # Training (save_tin): the key is UNIQUE per lane —
@@ -651,14 +672,14 @@ def _march_kernel(
                     tq = jnp.clip(
                         (t_event_ - t_min_c) * (65534.0 / t_rng), 0.0, 65534.0
                     ).astype(jnp.int32)
-                    cpack = _pack_colors(colors)
+                    cpack = _pack_colors(colors_g, gw)
                     if save_tin:
-                        src = jax.lax.broadcasted_iota(jnp.int32, (c, R), 0)
+                        src = jax.lax.broadcasted_iota(jnp.int32, (c, gw), 0)
                         zbase = jnp.int32(65535 << 8)
                         skey = jnp.where(
                             a_ > 0.0, jax.lax.shift_left(tq, 8), zbase
                         ) | src
-                        apay = jnp.broadcast_to(a_, (c, R))
+                        apay = jnp.broadcast_to(a_, (c, gw))
                         _, (cpack_s, a_s) = _bitonic_sort(
                             skey, (cpack, apay), c
                         )
@@ -672,7 +693,7 @@ def _march_kernel(
                             jax.lax.shift_left(tq, 15) | aq,
                             zbase,
                         )
-                        skey = jnp.broadcast_to(skey, (c, R))
+                        skey = jnp.broadcast_to(skey, (c, gw))
                         skey_s, (cpack_s,) = _bitonic_sort(
                             skey, (cpack,), c
                         )
@@ -681,19 +702,44 @@ def _march_kernel(
                             0.0,
                             (skey_s & 32767).astype(f32) * (1.0 / 32767.0),
                         )
-                    return _composite(a_s, _unpack_colors(cpack_s))
+                    return _composite_with(tc_g, a_s, _unpack_colors(cpack_s))
 
-                rgb_part, t_next = jax.lax.cond(
-                    has_inv,
-                    _sorted_branch,
-                    lambda a_, t_: _composite(a_, colors),
-                    a, t_key,
-                )
+                for gi in range(n_groups):
+                    gs = slice(gi * gw, (gi + 1) * gw)
+                    a_g = a if n_groups == 1 else a[:, gs]
+                    t_g = t_key if n_groups == 1 else t_key[:, gs]
+                    colors_g = [
+                        ci if (n_groups == 1 or ci.shape[1] == 1)
+                        else ci[:, gs]
+                        for ci in colors
+                    ]
+                    tc_g = acc[3:4, gs]  # fresh VMEM load (see above)
+                    sig_t = jnp.where(a_g > 0.0, t_g, -jnp.inf)
+                    rmax = _running_max_excl(sig_t, cand_idx)
+                    has_inv = jnp.any((a_g > 0.0) & (t_g < rmax))
+                    # sort-fire telemetry in the spare acc row (per lane
+                    # group; surfaced by pallas_march_stream(stats=True))
+                    acc[4:5, gs] = acc[4:5, gs] + jnp.where(
+                        has_inv, 1.0, 0.0
+                    )
+                    rgb_g, t_n = jax.lax.cond(
+                        has_inv,
+                        functools.partial(
+                            _sorted_branch, colors_g=colors_g, tc_g=tc_g
+                        ),
+                        lambda a_, t_, tc=tc_g, cg=colors_g: _composite_with(
+                            tc, a_, cg
+                        ),
+                        a_g, t_g,
+                    )
+                    acc[3:4, gs] = jnp.where(tc_g > minT, t_n, tc_g)
+                    acc[0:3, gs] = acc[0:3, gs] + rgb_g
             else:
                 rgb_part, t_next = _composite(a, colors)
 
-            acc[3:4, :] = jnp.where(t_carry > minT, t_next, t_carry)
-            acc[0:3, :] = acc[0:3, :] + rgb_part
+            if config.order != "window":
+                acc[3:4, :] = jnp.where(t_carry > minT, t_next, t_carry)
+                acc[0:3, :] = acc[0:3, :] + rgb_part
 
         return 0
 
@@ -884,8 +930,12 @@ def pallas_march_stream(
     rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))  # (T, R, 3)
     if stats:
         # per-tile count of chunks whose per-ray sort network actually ran
-        # (row 4 telemetry; identical across rays, take lane 0)
-        return rgb, out[:, 3, :], out[:, 4, 0]
+        # (row 4 telemetry). The window kernel counts per 128-lane GROUP
+        # (constant within each group's lanes): max over lanes = chunks
+        # where ANY group fired (the pre-split semantic); the mean over
+        # lanes is the average per-group fire count (the split's actual
+        # cost rate, <= the max when inversions localize to one group).
+        return rgb, out[:, 3, :], jnp.max(out[:, 4, :], axis=-1)
     return rgb, out[:, 3, :]
 
 

@@ -1,8 +1,9 @@
 """Quick headline-only A/B: bench scene, pinhole 720p, configurable knobs.
 
-Usage: python scripts/quick_ab.py "label=cfg_kwargs_json" ...
+Usage: python scripts/quick_ab.py cfg_kwargs_json ...
 e.g.   python scripts/quick_ab.py '{"tile_h": 8}' '{}'
-Each arg is a JSON dict of RenderConfig overrides over the bench config.
+Each arg is a bare JSON dict of RenderConfig overrides over the bench
+config (no label= prefix).
 """
 
 from __future__ import annotations
@@ -41,6 +42,15 @@ def snug(scene, cam, config, method):
 
 
 def time_config(config, scene, cap, method):
+    # the snug cap was verified drop-free at the probe camera only; assert
+    # the animation's last (max-displacement) camera also drops nothing —
+    # silent pair drops during timed frames would fake a speedup
+    last = Camera.create(eye=(0.002 * 7, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+                         width=WIDTH, height=HEIGHT)
+    aux = render(scene, last, config, method=method, pair_capacity=cap,
+                 return_aux=True)["aux"]
+    assert int(aux["n_dropped"]) == 0, f"drops at animated camera: {aux}"
+
     def frame(i):
         cam = Camera.create(eye=(0.002 * i, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
                             width=WIDTH, height=HEIGHT)
