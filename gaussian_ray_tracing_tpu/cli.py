@@ -487,6 +487,39 @@ def cmd_warmup(args):
             print(json.dumps(done[-1]), flush=True)
     print(json.dumps({"warmed": len(done), "method": method,
                       "width": args.width, "height": args.height}))
+    if getattr(args, "assert_golden", False):
+        # on-backend golden gate: the production window-order path must
+        # clear the parity bar on the stored full-frame oracle golden.
+        # CPU interpret tests cannot see Mosaic layout legality or
+        # bf16/MXU numeric traps (round-3 lessons) — this can.
+        import os
+
+        import numpy as np
+
+        from gaussian_ray_tracing_tpu.utils.image import psnr
+
+        gpath = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "golden",
+            "pinhole_720p.npz")
+        gz = np.load(gpath)
+        n_g, seed_g, w_g, h_g, hm_g, _fe = [int(v) for v in gz["meta"]]
+        gscene = jax.device_put(random_scene(n_g, seed=seed_g))
+        gcam = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+                             width=w_g, height=h_g)
+        gcfg = RenderConfig(hit_multiplicity=hm_g, order="window",
+                            march_chunk=128)
+        cap = default_pair_capacity(n_g)
+        for _ in range(3):
+            aux = render(gscene, gcam, gcfg, method=method,
+                         pair_capacity=cap, return_aux=True)["aux"]
+            if int(aux["n_dropped"]) == 0:
+                break
+            cap *= 2
+        out = render(gscene, gcam, gcfg, method=method, pair_capacity=cap)
+        p = float(psnr(np.asarray(gz["rgb"], np.float32),
+                       np.asarray(out["rgb"])))
+        print(json.dumps({"psnr_vs_golden": round(p, 2), "method": method}))
+        assert p >= 40.0, f"production path PSNR {p:.1f} < 40 vs golden"
 
 
 def cmd_info(args):
@@ -596,6 +629,11 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--pair-capacity", type=int, nargs="*", default=None,
                    help="extra pair-capacity buckets to warm")
+    p.add_argument("--assert", dest="assert_golden", action="store_true",
+                   help="after warming, render the stored 720p golden's "
+                   "scene with the production config on THIS backend and "
+                   "fail unless PSNR >= 40 (catches Mosaic compile or "
+                   "numeric regressions the CPU tests cannot see)")
     p.set_defaults(fn=cmd_warmup)
 
     args = parser.parse_args(argv)
