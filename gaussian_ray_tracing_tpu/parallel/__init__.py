@@ -13,6 +13,7 @@ from gaussian_ray_tracing_tpu.parallel.sharded import (
     render_tiled_sharded,
     render_rays_sharded_oracle,
     render_gaussian_sharded,
+    render_pallas_slabs,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "render_tiled_sharded",
     "render_rays_sharded_oracle",
     "render_gaussian_sharded",
+    "render_pallas_slabs",
 ]

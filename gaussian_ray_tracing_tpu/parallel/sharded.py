@@ -497,7 +497,7 @@ def render_gaussian_sharded_fast(
             ),
             sh=scene.sh[order],
             num_active=scene.num_gaussians,
-        )
+        )  # (keeps its own `order`: shared with the straddle="exact" branch)
 
         def local(scene_l):
             table, binning, dirs_t, _ = prepare_frame(
@@ -583,23 +583,7 @@ def render_gaussian_ring(
         pair_capacity = default_pair_capacity(-(-N // n))
 
     # contiguous view-depth slabs (as render_gaussian_sharded_fast)
-    U, V, W = camera.uvw_frame()
-    w_hat = W / jnp.maximum(jnp.linalg.norm(W), 1e-12)
-    depth = (scene.means - camera.eye) @ w_hat
-    order = jnp.argsort(depth)
-    pad = (-N) % n
-    if pad:
-        order = jnp.concatenate([order, order[-1:].repeat(pad)])
-    sorted_scene = GaussianScene(
-        means=scene.means[order],
-        scales=scene.scales[order],
-        quats=scene.quats[order],
-        opacities=jnp.where(
-            jnp.arange(order.shape[0]) < N, scene.opacities[order], 0.0
-        ),
-        sh=scene.sh[order],
-        num_active=scene.num_gaussians,
-    )
+    sorted_scene = _slab_sorted_scene(scene, camera, n)
 
     origins, dirs, valid = generate_rays(camera, config)
     H, W_px = camera.height, camera.width
@@ -674,6 +658,209 @@ def render_gaussian_ring(
     rgb = jnp.where(valid[..., None], rgb, 0.0)
     alpha = jnp.where(valid, alpha, 0.0)
     return {"rgb": rgb, "alpha": alpha}
+
+
+def _slab_sorted_scene(scene: GaussianScene, camera: Camera, n: int):
+    """Contiguous view-depth slabs: depth-argsort the scene and zero the
+    padding tail's opacity (invisible anywhere). Shared by the tiled and
+    Pallas slab renderers."""
+    N = scene.num_gaussians
+    U, V, W = camera.uvw_frame()
+    w_hat = W / jnp.maximum(jnp.linalg.norm(W), 1e-12)
+    depth = (scene.means - camera.eye) @ w_hat
+    order = jnp.argsort(depth)
+    pad = (-N) % n
+    if pad:
+        order = jnp.concatenate([order, order[-1:].repeat(pad)])
+    return GaussianScene(
+        means=scene.means[order],
+        scales=scene.scales[order],
+        quats=scene.quats[order],
+        opacities=jnp.where(
+            jnp.arange(order.shape[0]) < N, scene.opacities[order], 0.0
+        ),
+        sh=scene.sh[order],
+        num_active=scene.num_gaussians,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "mesh", "pair_capacity", "chunk", "interpret",
+                     "comm"),
+)
+def render_pallas_slabs(
+    scene: GaussianScene,
+    camera: Camera,
+    config: RenderConfig,
+    mesh: Mesh,
+    pair_capacity: int | None = None,
+    chunk: int | None = None,
+    interpret: bool | None = None,
+    comm: str = "ring",
+):
+    """Depth-slab gaussian partitioning on the FUSED PALLAS march.
+
+    The production kernel's variant of render_gaussian_sharded_fast /
+    render_gaussian_ring: device d owns contiguous view-depth slab d and
+    runs the FULL Pallas pipeline over it — per-slab feature table,
+    footprints, pair binning, feature gather and the fused march kernel
+    are all 1/n_dev sized (no stage is replicated beyond the O(N) depth
+    argsort that defines the slabs).
+
+    comm="gather": each device marches ALL image tiles against its slab,
+    then one all_gather + ordered front-to-back segment fold combines the
+    (n, T, R) partials (combine_slab_segments).
+
+    comm="ring": ray-tile block d starts on device d and ppermutes one
+    step per round (the ring-attention analog, SURVEY.md section 5): each
+    round marches the resident block against the LOCAL slab's pair-stream
+    segments for those tiles and folds the (radiance, transmittance)
+    segment into the block's carried partials. Peak memory is one slab +
+    one T/n ray block per device and the comm is n-1 ppermutes of
+    (T/n, R) partials instead of an all_gather of (n, T, R). Block b
+    visits slabs in rotated order b, b+1, ..., n-1, 0, ..., b-1, so it
+    carries TWO depth-ordered partials (back = slabs >= b, front =
+    wrapped slabs < b) combined once at the end; vs comm="gather" the
+    only float difference is that final front*back regrouping (~1 ulp).
+
+    Returns {"rgb", "alpha", "n_dropped", "pairs_max_shard", "n_pairs"}:
+    pairs_max_shard is the largest per-device emitted pair count — the
+    1/n_dev binning-scaling witness asserted in tests/test_parallel.py.
+    """
+    from gaussian_ray_tracing_tpu.models.pallas_renderer import (
+        _interpret_default,
+        prepare_pair_stream,
+    )
+    from gaussian_ray_tracing_tpu.models.tiled import default_pair_capacity
+    from gaussian_ray_tracing_tpu.ops.pallas_march import pallas_march_stream
+    from gaussian_ray_tracing_tpu.ops.tiles import num_tiles
+
+    if interpret is None:
+        interpret = _interpret_default()
+    if chunk is None:
+        chunk = max(32, min(config.march_chunk, 256))
+    n = mesh.shape[GAUSS_AXIS]
+    N = scene.num_gaussians
+    if pair_capacity is None:
+        pair_capacity = default_pair_capacity(-(-N // n))
+    if comm not in ("ring", "gather"):
+        raise ValueError(f"unknown comm {comm!r}")
+
+    sorted_scene = _slab_sorted_scene(scene, camera, n)
+
+    origins, dirs, valid = generate_rays(camera, config)
+    H, W_px = camera.height, camera.width
+    dirs_all = tile_rays(dirs, config.tile_w, config.tile_h)  # (T, R, 3)
+    tx_n, ty_n = num_tiles(camera, config)
+    T = tx_n * ty_n
+    R = config.rays_per_tile
+    T_local = -(-T // n)
+    pad_t = n * T_local - T
+    if pad_t:
+        dirs_all = jnp.pad(dirs_all, ((0, pad_t), (0, 0), (0, 0)))
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    eye = jnp.asarray(camera.eye, jnp.float32)
+
+    def _prep(scene_l):
+        # per-slab Pallas frame prep: O(N/n) table + footprints, O(P/n)
+        # binning/sort/gather. packed16 stays off: the slab fold needs the
+        # same feature numerics on CPU-mesh tests and TPU.
+        stream, pair_feats, _table, _br = prepare_pair_stream(
+            scene_l, camera, config, pair_capacity, chunk, packed16=False
+        )
+        return stream, pair_feats
+
+    def local_gather(scene_l, dirs_p):
+        stream, pair_feats = _prep(scene_l)
+        starts_p = (
+            jnp.concatenate([
+                stream.starts,
+                jnp.broadcast_to(stream.starts[-1:], (pad_t,)),
+            ]) if pad_t else stream.starts
+        )
+        rgb_l, t_l = pallas_march_stream(
+            starts_p, eye, pair_feats, dirs_p, config,
+            n_tiles=n * T_local, rays_per_tile=R,
+            chunk=chunk, interpret=interpret, quad=True,
+        )
+        rgb_all = jax.lax.all_gather(rgb_l, GAUSS_AXIS)  # (S, T', R, 3)
+        t_all = jax.lax.all_gather(t_l, GAUSS_AXIS)
+        rgb_t, t_tot = combine_slab_segments(rgb_all, t_all)
+        return (rgb_t, t_tot, jax.lax.psum(stream.n_dropped, GAUSS_AXIS),
+                jax.lax.pmax(stream.n_pairs, GAUSS_AXIS),
+                jax.lax.psum(stream.n_pairs, GAUSS_AXIS))
+
+    def local_ring(scene_l, dirs_p):
+        stream, pair_feats = _prep(scene_l)
+        starts_p = (
+            jnp.concatenate([
+                stream.starts,
+                jnp.broadcast_to(stream.starts[-1:], (pad_t,)),
+            ]) if pad_t else stream.starts
+        )
+        s = jax.lax.axis_index(GAUSS_AXIS)
+        blk = jax.lax.dynamic_slice_in_dim(dirs_p, s * T_local, T_local, 0)
+        f32 = jnp.float32
+        f_rgb = jnp.zeros((T_local, R, 3), f32)
+        f_t = jnp.ones((T_local, R), f32)
+        b_rgb = jnp.zeros((T_local, R, 3), f32)
+        b_t = jnp.ones((T_local, R), f32)
+
+        def round_k(k, carry):
+            blk, f_rgb, f_t, b_rgb, b_t = carry
+            b = (s - k) % n  # id of the block currently on this device
+            starts_b = jax.lax.dynamic_slice_in_dim(
+                starts_p, b * T_local, T_local + 1, 0
+            )
+            rgb_l, t_l = pallas_march_stream(
+                starts_b, eye, pair_feats, blk, config,
+                n_tiles=T_local, rays_per_tile=R, chunk=chunk,
+                interpret=interpret, quad=True,
+            )
+            fb = s >= b  # scalar: this slab folds into the back partial
+            f_rgb = jnp.where(fb, f_rgb, f_rgb + f_t[..., None] * rgb_l)
+            f_t = jnp.where(fb, f_t, f_t * t_l)
+            b_rgb = jnp.where(fb, b_rgb + b_t[..., None] * rgb_l, b_rgb)
+            b_t = jnp.where(fb, b_t * t_l, b_t)
+            shift = lambda x: jax.lax.ppermute(x, GAUSS_AXIS, perm)
+            return (shift(blk), shift(f_rgb), shift(f_t),
+                    shift(b_rgb), shift(b_t))
+
+        blk, f_rgb, f_t, b_rgb, b_t = jax.lax.fori_loop(
+            0, n, round_k, (blk, f_rgb, f_t, b_rgb, b_t)
+        )
+        rgb = f_rgb + f_t[..., None] * b_rgb
+        t_tot = f_t * b_t
+        return (rgb, t_tot, jax.lax.psum(stream.n_dropped, GAUSS_AXIS),
+                jax.lax.pmax(stream.n_pairs, GAUSS_AXIS),
+                jax.lax.psum(stream.n_pairs, GAUSS_AXIS))
+
+    scene_spec = GaussianScene(
+        means=P(GAUSS_AXIS), scales=P(GAUSS_AXIS), quats=P(GAUSS_AXIS),
+        opacities=P(GAUSS_AXIS), sh=P(GAUSS_AXIS),
+        num_active=scene.num_gaussians,
+    )
+    out_tile_spec = P(GAUSS_AXIS) if comm == "ring" else P()
+    rgb_t, t_total, n_dropped, pairs_max, n_pairs = shard_map(
+        local_ring if comm == "ring" else local_gather,
+        mesh=mesh,
+        in_specs=(scene_spec, P()),
+        out_specs=(out_tile_spec, out_tile_spec, P(), P(), P()),
+        check_vma=False,
+    )(sorted_scene, dirs_all)
+
+    rgb_t = rgb_t[:T]
+    t_total = t_total[:T]
+    rgb = untile_image(rgb_t, H, W_px, config.tile_w, config.tile_h)
+    alpha = untile_image(
+        (1.0 - t_total)[..., None], H, W_px, config.tile_w, config.tile_h
+    )[..., 0]
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    alpha = jnp.where(valid, alpha, 0.0)
+    return {"rgb": rgb, "alpha": alpha, "n_dropped": n_dropped,
+            "pairs_max_shard": pairs_max, "n_pairs": n_pairs}
 
 
 @partial(

@@ -247,3 +247,51 @@ def test_pallas_sharded_diff_grads_match_single():
         np.testing.assert_array_equal(
             np.asarray(getattr(gs, f)), np.asarray(getattr(g1, f))
         )
+
+
+def test_pallas_slabs_ring_matches_gather_and_scales_binning():
+    """The PRODUCTION-kernel slab decomposition: render_pallas_slabs
+    comm="ring" (ppermute ray blocks, two carried partials) matches
+    comm="gather" (all_gather + ordered fold) to float-regrouping
+    tolerance, both match the single-device Pallas render at slab-fold
+    quality, and the per-shard binned pair count scales ~1/n_dev (no
+    replicated binning stage)."""
+    from gaussian_ray_tracing_tpu.models.pallas_renderer import render_pallas
+    from gaussian_ray_tracing_tpu.parallel.sharded import render_pallas_slabs
+    from gaussian_ray_tracing_tpu.utils.image import psnr
+
+    scene = random_scene(1500, seed=3)
+    cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                        width=64, height=32)
+    cfg = CFG.replace(order="window", march_chunk=64)
+    mesh = make_mesh(8, axis=GAUSS_AXIS)
+    g = render_pallas_slabs(scene, cam, cfg, mesh, pair_capacity=65_536,
+                            comm="gather")
+    r = render_pallas_slabs(scene, cam, cfg, mesh, pair_capacity=65_536,
+                            comm="ring")
+    assert int(g["n_dropped"]) == 0 and int(r["n_dropped"]) == 0
+    # ring vs gather differ only in the front*back regrouping (~1 ulp) and
+    # the gather fold's cumprod association
+    np.testing.assert_allclose(np.asarray(r["rgb"]), np.asarray(g["rgb"]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r["alpha"]), np.asarray(g["alpha"]),
+                               atol=2e-5)
+    # same slab decomposition as the tiled slab renderer (straddle="slab"):
+    # the kernels differ only in march implementation
+    from gaussian_ray_tracing_tpu.parallel.sharded import (
+        render_gaussian_sharded_fast,
+    )
+
+    ts = render_gaussian_sharded_fast(scene, cam, cfg.replace(
+        max_per_tile=4096), mesh, pair_capacity=65_536)
+    assert float(psnr(ts["rgb"], r["rgb"])) > 40.0
+    # vs the single-device production kernel the decomposition itself costs
+    # quality on this dense straddling scene (slab-order compositing,
+    # PERF.md) — sanity floor only; straddle-exact windows are the tiled
+    # path's remedy (test_gaussian_slab_exact_straddlers_dense)
+    a = render_pallas(scene, cam, cfg, pair_capacity=200_000)
+    assert float(psnr(a["rgb"], r["rgb"])) > 30.0
+    # 1/n binning-scaling witness: the largest shard binned well under the
+    # full frame's pairs (each slab bins only its own gaussians)
+    assert int(r["pairs_max_shard"]) * 4 < int(r["n_pairs"]), (
+        int(r["pairs_max_shard"]), int(r["n_pairs"]))
