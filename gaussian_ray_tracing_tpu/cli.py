@@ -283,7 +283,9 @@ def cmd_fit(args):
                           lr=args.lr, loss_fn=loss_fn, optimizer=optimizer,
                           density=density, seed=args.seed)
         _maybe_resume(trainer, args)
-        losses = trainer.fit(views, steps=args.steps)
+        losses = trainer.fit(views, steps=args.steps,
+                             checkpoint_dir=getattr(args, "checkpoint_dir",
+                                                    None))
         _maybe_checkpoint(trainer, args)
         if args.output:
             trainer.save(args.output)
@@ -302,9 +304,10 @@ def cmd_fit(args):
         target_scene = random_scene(args.synthetic or 20_000, seed=args.seed)
     center = np.asarray(target_scene.center())
 
+    n_views = args.views or 8
     views = []
-    for i in range(args.views):
-        cam = orbit_camera(center, 2.8, 360.0 * i / args.views, 15.0,
+    for i in range(n_views):
+        cam = orbit_camera(center, 2.8, 360.0 * i / n_views, 15.0,
                            width=args.width, height=args.height)
         target = render_tiled(target_scene, cam, cfg)["rgb"]
         views.append((cam, target))
@@ -562,7 +565,9 @@ def main(argv=None):
     _add_scene_args(p)
     p.add_argument("--width", type=int, default=128)
     p.add_argument("--height", type=int, default=128)
-    p.add_argument("--views", type=int, default=8)
+    p.add_argument("--views", type=int, default=None,
+                   help="number of views (synthetic default 8; --dataset "
+                   "default: the whole split)")
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--fit-gaussians", type=int, default=2000)
     p.add_argument("--sh-degree", type=int, default=0)

@@ -298,7 +298,8 @@ class Trainer:
             self._pair_capacity = cap
             self._build_step()
 
-    def fit(self, views: list[tuple[Camera, jnp.ndarray]], steps: int, log_every: int = 50):
+    def fit(self, views: list[tuple[Camera, jnp.ndarray]], steps: int, log_every: int = 50,
+            checkpoint_dir: str | None = None):
         """Fit over the view set.
 
         Steps run in jit-compiled SEGMENTS (one lax.fori_loop per span
@@ -386,6 +387,11 @@ class Trainer:
                 changed = self._density_round(cur)
                 if changed:
                     self._refresh_capacity(views)
+            if checkpoint_dir is not None and cur < steps:
+                # crash insurance on long tunneled-TPU runs: the segment's
+                # loss fetch above already synced, so this costs one host
+                # round-trip per segment (~minutes apart)
+                self.save_checkpoint(checkpoint_dir)
         return losses
 
     def _fit_unbatched(self, views, steps):
