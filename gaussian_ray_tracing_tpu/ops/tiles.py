@@ -189,6 +189,12 @@ def project_footprints_conic(
     """
     from gaussian_ray_tracing_tpu.ops.quaternion import quat_to_rotmat
 
+    if config.camera_model == CameraModel.FISHEYE and config.exact_bbox:
+        # fisheye tight path: exact hit-cone caps (anisotropy-aware)
+        # through the exact polar-warp rectangle in project_footprints
+        caps = fisheye_cone_caps(means, scales, quats, radius, camera)
+        return project_footprints(means, bound_radius, camera, config,
+                                  cone_caps=caps)
     extents = camera_axis_extents(scales, quats, radius, camera)
     fp = project_footprints(means, bound_radius, camera, config, extents=extents)
     if (
@@ -255,12 +261,122 @@ def project_footprints_conic(
     )
 
 
+def fisheye_cone_caps(means, scales, quats, radius, camera):
+    """Exact hit-cone caps: per gaussian, the tightest (axis, half-angle)
+    spherical cap containing every world direction d whose forward ray
+    eye + t d (t > 0) meets the adaptive iso-ellipsoid.
+
+    Those directions are one nappe of the exact quadratic cone
+    d^T G d <= 0 with G = cq * Q - (Q o)(Q o)^T (Q = R S^-2 R^T,
+    o = eye - mu, cq = o^T Q o - rad^2 — the same scalars the march's hit
+    gate evaluates, shaders/tracer.cuh:187-214 / ops/response.py). G has
+    signature (-,+,+) when the eye is outside; the cap axis is the
+    negative-eigenvalue direction and tan(half-angle) =
+    sqrt(-l0 / min(l1, l2)) — exact along the cone's widest principal
+    plane. Replaces the bounding-SPHERE cap (radius * max(scales)), which
+    over-covers anisotropic gaussians by the full axis ratio (measured
+    -52% fisheye pairs at the 768^2/100k bench config).
+
+    Returns (ax, ay, az, delta, inside): unit world-basis cap axis
+    (sign-aligned toward the gaussian), cap half-angle (with a 2e-3 rad
+    absolute margin dominating the f32 eigensolve error ~sqrt(eps)), and
+    the eye-inside-iso-ellipsoid mask (all directions hit).
+    """
+    from gaussian_ray_tracing_tpu.ops.quaternion import quat_to_rotmat
+
+    R = quat_to_rotmat(quats)  # (N, 3, 3)
+    inv_s2 = 1.0 / jnp.maximum(scales * scales, 1e-20)  # (N, 3)
+    ox = camera.eye[0] - means[:, 0]
+    oy = camera.eye[1] - means[:, 1]
+    oz = camera.eye[2] - means[:, 2]
+
+    # Q = R diag(1/s^2) R^T, 6 unique components as (N,) arrays
+    def q_comp(i, j):
+        return jnp.sum(R[:, i, :] * R[:, j, :] * inv_s2, axis=-1)
+
+    q00, q01, q02 = q_comp(0, 0), q_comp(0, 1), q_comp(0, 2)
+    q11, q12, q22 = q_comp(1, 1), q_comp(1, 2), q_comp(2, 2)
+    wx = q00 * ox + q01 * oy + q02 * oz  # Q o
+    wy = q01 * ox + q11 * oy + q12 * oz
+    wz = q02 * ox + q12 * oy + q22 * oz
+    cq = ox * wx + oy * wy + oz * wz - radius * radius
+    inside = cq <= 0.0
+
+    # G = cq Q - w w^T, normalized for f32-stable eigenvalues
+    g00 = cq * q00 - wx * wx
+    g01 = cq * q01 - wx * wy
+    g02 = cq * q02 - wx * wz
+    g11 = cq * q11 - wy * wy
+    g12 = cq * q12 - wy * wz
+    g22 = cq * q22 - wz * wz
+    gmax = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(g00), jnp.abs(g11)), jnp.abs(g22)),
+        jnp.maximum(jnp.maximum(jnp.abs(g01), jnp.abs(g02)), jnp.abs(g12)),
+    )
+    gn = 1.0 / jnp.maximum(gmax, 1e-30)
+    g00, g01, g02 = g00 * gn, g01 * gn, g02 * gn
+    g11, g12, g22 = g11 * gn, g12 * gn, g22 * gn
+
+    # symmetric 3x3 eigenvalues, trigonometric (Cardano) form
+    q = (g00 + g11 + g22) * (1.0 / 3.0)
+    p1 = g01 * g01 + g02 * g02 + g12 * g12
+    d0, d1, d2 = g00 - q, g11 - q, g22 - q
+    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 * (1.0 / 6.0), 1e-30))
+    ip = 1.0 / p
+    b00, b11, b22 = d0 * ip, d1 * ip, d2 * ip
+    b01, b02, b12 = g01 * ip, g02 * ip, g12 * ip
+    detb = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    phi = jnp.arccos(jnp.clip(detb * 0.5, -1.0, 1.0)) * (1.0 / 3.0)
+    lam2 = q + 2.0 * p * jnp.cos(phi)  # largest
+    lam0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    lam1 = 3.0 * q - lam0 - lam2
+    delta = jnp.arctan2(
+        jnp.sqrt(jnp.maximum(-lam0, 0.0)),
+        jnp.sqrt(jnp.maximum(jnp.minimum(lam1, lam2), 1e-30)),
+    )
+    delta = jnp.minimum(delta + 2e-3, 0.5 * jnp.pi)
+    # near-grazing degeneracy (lam0 ~ lam1 ~ 0): the eigenvector is
+    # ill-conditioned exactly where the cap approaches a hemisphere —
+    # treat as inside (full cover) rather than risk a wrong axis
+    inside = inside | (jnp.minimum(lam1, lam2) < 1e-6)
+
+    # eigenvector of lam0: the largest cross product of rows of G - lam0 I
+    r0 = (g00 - lam0, g01, g02)
+    r1 = (g01, g11 - lam0, g12)
+    r2 = (g02, g12, g22 - lam0)
+
+    def cross(u, v):
+        return (
+            u[1] * v[2] - u[2] * v[1],
+            u[2] * v[0] - u[0] * v[2],
+            u[0] * v[1] - u[1] * v[0],
+        )
+
+    cands = [cross(r0, r1), cross(r0, r2), cross(r1, r2)]
+    n2 = [cx * cx + cy * cy + cz * cz for cx, cy, cz in cands]
+    best = jnp.argmax(jnp.stack(n2, axis=-1), axis=-1)
+    pick = lambda k: jnp.where(
+        best == 0, cands[0][k], jnp.where(best == 1, cands[1][k], cands[2][k])
+    )
+    vx, vy, vz = pick(0), pick(1), pick(2)
+    vn = jnp.sqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-30))
+    # sign: toward the gaussian (axis . (mu - eye) > 0)
+    sgn = jnp.where(vx * ox + vy * oy + vz * oz > 0.0, -1.0, 1.0) / vn
+    return vx * sgn, vy * sgn, vz * sgn, delta, inside
+
+
 def project_footprints(
     means: jnp.ndarray,
     bound_radius: jnp.ndarray,
     camera: Camera,
     config: RenderConfig,
     extents: tuple | None = None,
+    cone_caps: tuple | None = None,
 ) -> Footprint:
     """Conservative screen-space footprints.
 
@@ -325,60 +441,103 @@ def project_footprints(
         ndc_y = r_ndc * ly / planar
         px = (ndc_x + 1.0) * 0.5 * Wpx
         py = (ndc_y + 1.0) * 0.5 * Hpx
-        # angular radius of the bounding sphere, and a SOUND bound on the
-        # NDC extent of its image under the equisolid map r = 2f sin(t/2):
-        #   radial:      |dr/dtheta| <= f everywhere  ->  f * delta
-        #   tangential:  a cap at polar angle t0 spans azimuth
-        #                dphi = arcsin(sin d / sin t0) (all azimuths when
-        #                sin t0 <= sin d), and its image points lie at
-        #                radius <= r_hi = r(min(t0 + d, pi)); the chord is
-        #                <= r_hi * dphi, capped by r(t0) + r_hi (every cap
-        #                image lies in the origin-centered r_hi disk).
-        # The former sqrt(2)*f*delta formula under-covered caps that near
-        # or wrap the optical axis (all-azimuth spread), which showed as
-        # interior holes vs the oracle (22 dB at 720p, round 3).
-        # world-sphere angular radius of the bounding sphere, mapped to the
-        # LOCAL sphere: the map d -> normalize(L d) (L = diag(1/|U|, 1/|V|,
-        # 1/|W|) in the frame basis) stretches a spherical path by at most
-        # smax / min|L d(s)|, and over the cap |L d(s)| >= |L d0| -
-        # smax * chord — so delta_local <= delta_world * smax / lowb.
-        delta_w = jnp.arcsin(jnp.clip(bound_radius / rho_safe, 0.0, 1.0))
-        smax = jnp.maximum(jnp.maximum(1.0 / ulen, 1.0 / vlen), 1.0 / wlen)
-        smin = jnp.minimum(jnp.minimum(1.0 / ulen, 1.0 / vlen), 1.0 / wlen)
-        lhat = ln / rho_safe  # |L rel_hat|
-        chord = 2.0 * jnp.sin(0.5 * delta_w)
-        lowb = jnp.maximum(smin, lhat - smax * chord)
-        delta = jnp.minimum(delta_w * smax / lowb, jnp.pi)
-        inside = rho <= bound_radius
+        # EXACT local polar rectangle of the bounding sphere's image.
+        # The raygen's local map is l = normalize(L d) with
+        # L = diag(1/|U|, 1/|V|, 1/|W|) in the orthonormal frame basis.
+        # Key structure (replaces the round-3 isotropic cap-stretch bound
+        # delta_local <= delta_world * smax / (|L d0| - smax*chord), which
+        # emitted ~2.2x pairs):
+        #   - AZIMUTH: the map sends azimuth p to the direction of
+        #     (cos p / |U|, sin p / |V|) INDEPENDENT of polar angle; with
+        #     |U| = |V| azimuth is preserved EXACTLY, otherwise it is a
+        #     monotone reparametrization — so the world cap's exact
+        #     azimuth interval maps to the interval between its endpoint
+        #     images.
+        #   - POLAR: tan(theta') = k(p) * tan(theta) with
+        #     k(p) = |W| * |(cos p / |U|, sin p / |V|)| in
+        #     [k_lo, k_hi] = |W|/max(|U|,|V|) .. |W|/min(|U|,|V|), and
+        #     atan2(k sin t, cos t) is monotone in t (any k) and in k
+        #     (fixed t < pi/2; decreasing for t > pi/2) — so evaluating
+        #     the warp at both k extremes bounds theta' exactly.
+        # The world cap around rel_hat with angular radius
+        # dw = arcsin(br/rho) lies in the world polar rectangle
+        # [t0-dw, t0+dw] x [p0-dphi, p0+dphi], dphi = arcsin(sin dw/sin t0)
+        # (all azimuths when sin t0 <= sin dw or the cap holds a pole).
+        if cone_caps is not None:
+            # exact hit-cone caps (fisheye_cone_caps): axis + half-angle
+            # of the tightest cap over the forward hit directions —
+            # replaces the bounding-sphere cap below for anisotropic
+            # gaussians
+            cax, cay, caz, delta_w, inside = cone_caps
+            ca = cax * (-u_hat[0]) + cay * (-u_hat[1]) + caz * (-u_hat[2])
+            cb = cax * (-v_hat[0]) + cay * (-v_hat[1]) + caz * (-v_hat[2])
+            cc_ax = cax * w_hat[0] + cay * w_hat[1] + caz * w_hat[2]
+        else:
+            delta_w = jnp.arcsin(jnp.clip(bound_radius / rho_safe, 0.0, 1.0))
+            inside = rho <= bound_radius
+            ca, cb, cc_ax = a / rho_safe, b / rho_safe, c / rho_safe
 
-        # TIGHT NDC bbox of the cap's image: the local cap lies inside the
-        # polar rectangle theta in [t0 - d, t0 + d], phi in [phi0 - dphi,
-        # phi0 + dphi]; r = 2 f sin(theta/2) is monotone, so every extreme
-        # of (r cos phi, r sin phi) is at a corner or an axis crossing.
-        # Rays only exist for theta <= pi/2 (r <= 1, tracer.cuh:155-159),
-        # so theta_hi clips to the hemisphere — a large cut for side
-        # gaussians. (An isotropic square of radius f*d + r_hi*dphi was
-        # 2-4x looser per axis: 4.5M pairs at 720p fisheye vs ~1.3M.)
-        sin_t0 = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-        sin_d = jnp.sin(jnp.minimum(delta, 0.5 * jnp.pi))
-        wrap = (delta >= theta) | (sin_t0 <= sin_d)
-        theta_hi = jnp.clip(theta + delta, 0.0, 0.5 * jnp.pi + 0.02)
-        theta_lo = jnp.where(wrap, 0.0, jnp.maximum(theta - delta, 0.0))
+        # world polar coordinates of the cap center (frame basis)
+        cos_t0w = jnp.clip(cc_ax, -1.0, 1.0)
+        sin_t0w = jnp.sqrt(jnp.maximum(1.0 - cos_t0w * cos_t0w, 0.0))
+        t0w = jnp.arccos(cos_t0w)
+        sin_dw = jnp.sin(jnp.minimum(delta_w, 0.5 * jnp.pi))
+        wrap = (delta_w >= t0w) | (sin_t0w <= sin_dw)
+        t_lo_w = jnp.where(wrap, 0.0, jnp.maximum(t0w - delta_w, 0.0))
+        t_hi_w = jnp.minimum(t0w + delta_w, jnp.pi)
+
+        # polar warp at both anisotropy extremes (sound for every azimuth)
+        su, sv, sw = 1.0 / ulen, 1.0 / vlen, 1.0 / wlen
+        k_lo = jnp.minimum(su, sv) / sw
+        k_hi = jnp.maximum(su, sv) / sw
+        warp = lambda t, k: jnp.arctan2(k * jnp.sin(t), jnp.cos(t))
+        theta_lo = jnp.minimum(warp(t_lo_w, k_lo), warp(t_lo_w, k_hi))
+        theta_lo = jnp.where(wrap, 0.0, jnp.maximum(theta_lo, 0.0))
+        # rays only exist for theta' <= pi/2 (r <= 1, tracer.cuh:155-159):
+        # clip to the hemisphere — a large cut for side gaussians
+        theta_hi = jnp.maximum(warp(t_hi_w, k_lo), warp(t_hi_w, k_hi))
+        theta_hi = jnp.clip(theta_hi, 0.0, 0.5 * jnp.pi + 0.02)
         r_hi = 2.0 * f * jnp.sin(0.5 * theta_hi)
         r_lo = 2.0 * f * jnp.sin(0.5 * theta_lo)
-        cos_dphi = jnp.where(
+
+        # exact azimuth interval: world endpoints through the (monotone)
+        # azimuth map p -> dir(su cos p, sv sin p), all angle-addition —
+        # no trig calls
+        cos_dphi_w = jnp.where(
             wrap, -1.0,
-            jnp.sqrt(jnp.clip(1.0 - (sin_d / jnp.maximum(sin_t0, _EPS)) ** 2,
-                              0.0, 1.0)),
+            jnp.sqrt(jnp.clip(
+                1.0 - (sin_dw / jnp.maximum(sin_t0w, _EPS)) ** 2, 0.0, 1.0
+            )),
+        )
+        sin_dphi_w = jnp.sqrt(jnp.maximum(1.0 - cos_dphi_w * cos_dphi_w, 0.0))
+        planar_w = jnp.sqrt(jnp.maximum(ca * ca + cb * cb, _EPS * _EPS))
+        cphi0 = ca / planar_w
+        sphi0 = cb / planar_w
+        c1w = cphi0 * cos_dphi_w + sphi0 * sin_dphi_w  # cos(p0 - dphi)
+        s1w = sphi0 * cos_dphi_w - cphi0 * sin_dphi_w
+        c2w = cphi0 * cos_dphi_w - sphi0 * sin_dphi_w  # cos(p0 + dphi)
+        s2w = sphi0 * cos_dphi_w + cphi0 * sin_dphi_w
+
+        def _img_az(cw, sw_):
+            x, y = su * cw, sv * sw_
+            nrm = jnp.sqrt(jnp.maximum(x * x + y * y, _EPS * _EPS))
+            return x / nrm, y / nrm
+
+        c1, s1 = _img_az(c1w, s1w)
+        c2, s2 = _img_az(c2w, s2w)
+        # image center azimuth + half-width: angular midpoint of the
+        # endpoint images (the interval is < pi wide whenever not wrap);
+        # a degenerate midpoint falls back to all-azimuth (conservative)
+        mx, my = c1 + c2, s1 + s2
+        mn = jnp.sqrt(jnp.maximum(mx * mx + my * my, _EPS * _EPS))
+        degen = (mx * mx + my * my) < 1e-8
+        cphi = jnp.where(degen, lx / planar, mx / mn)
+        sphi = jnp.where(degen, ly / planar, my / mn)
+        cos_dphi = jnp.where(
+            wrap | degen, -1.0,
+            jnp.clip(cphi * c1 + sphi * s1, -1.0, 1.0),
         )
         sin_dphi = jnp.sqrt(jnp.maximum(1.0 - cos_dphi * cos_dphi, 0.0))
-        cphi = lx / planar  # cos(phi0), sin(phi0)
-        sphi = ly / planar
-        # corner azimuth cosines/sines (angle-addition, no trig calls)
-        c1 = cphi * cos_dphi + sphi * sin_dphi  # cos(phi0 - dphi)
-        c2 = cphi * cos_dphi - sphi * sin_dphi  # cos(phi0 + dphi)
-        s1 = sphi * cos_dphi - cphi * sin_dphi  # sin(phi0 - dphi)
-        s2 = sphi * cos_dphi + cphi * sin_dphi  # sin(phi0 + dphi)
         # contains angle alpha <=> cos(phi0 - alpha) >= cos(dphi)
         has_xp = cphi >= cos_dphi    # phi = 0     -> x reaches +r_hi
         has_xm = -cphi >= cos_dphi   # phi = pi    -> x reaches -r_hi
@@ -409,8 +568,11 @@ def project_footprints(
         py = (0.5 * (y_min + y_max) + 1.0) * 0.5 * Hpx
         rx = 0.5 * (x_max - x_min) * 0.5 * Wpx
         ry = 0.5 * (y_max - y_min) * 0.5 * Hpx
-        # visible hemisphere: r <= 1 <=> theta <= pi/2 (tracer.cuh:155-159)
-        visible = (theta - delta) <= (0.5 * jnp.pi + 0.05)
+        # visible hemisphere: r <= 1 <=> theta' <= pi/2 (tracer.cuh:155-159);
+        # theta_lo is the warped lower polar bound (pre-clip it never
+        # exceeds pi), so the cap is visible iff it is not wholly behind;
+        # inside-gaussians (degenerate axis) are always visible
+        visible = (theta_lo <= (0.5 * jnp.pi + 0.05)) | inside
         depth = rho
     else:
         raise ValueError(config.camera_model)
