@@ -206,6 +206,40 @@ def _run():
             )
     except Exception as e:
         extra["trained_720p_mrays"] = f"failed: {type(e).__name__}"
+    try:  # reference-default config row: hit_multiplicity=2 at 720p
+        # (double-hull anyhits, src/GaussianTracer.cpp:355-360; the
+        # reference's own default, src/main.cpp:65-66) with its golden
+        # parity assertion when data/golden/hm2_720p.npz exists
+        import numpy as np
+
+        h2cfg = config.replace(hit_multiplicity=2)
+        h2cap = _snug_capacity(scene, cam0, h2cfg, method)
+        extra["hm2_720p_mrays"] = round(
+            _mrays(scene, cam0, h2cfg, method, h2cap), 2
+        )
+        g2path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "data", "golden", "hm2_720p.npz")
+        if os.path.exists(g2path):
+            from gaussian_ray_tracing_tpu.scene.synthetic import random_scene as _rs
+            from gaussian_ray_tracing_tpu.utils.image import psnr as _psnr
+
+            gz2 = np.load(g2path)
+            n2, seed2, w2, h2, hm2, _ = [int(v) for v in gz2["meta"]]
+            gscene2 = jax.device_put(_rs(n2, seed=seed2))
+            gcam2 = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
+                                  width=w2, height=h2)
+            gcfg2 = config.replace(hit_multiplicity=hm2)
+            gcap2 = _snug_capacity(gscene2, gcam2, gcfg2, method)
+            out2 = render(gscene2, gcam2, gcfg2, method=method,
+                          pair_capacity=gcap2)["rgb"]
+            p2 = float(_psnr(np.asarray(gz2["rgb"], np.float32),
+                             np.asarray(out2)))
+            extra["psnr_vs_golden_hm2"] = round(p2, 2)
+            assert p2 >= 40.0, f"hm2 production-path PSNR {p2:.1f} < 40"
+    except AssertionError:
+        raise
+    except Exception as e:
+        extra["hm2_720p_mrays"] = f"failed: {type(e).__name__}"
     try:  # train-step row (fused fwd + hand-written bwd + adam, 512^2/50k)
         extra["train_step_512_50k_ms"] = round(_train_step_ms(on_tpu), 2)
     except Exception as e:

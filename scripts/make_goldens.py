@@ -45,6 +45,11 @@ GOLDENS = {
                         fisheye=True, hm=1),
     "hm2_360p": dict(n=20_000, seed=3, width=640, height=360,
                      fisheye=False, hm=2),
+    # the reference's true default config (double-hull anyhits,
+    # src/GaussianTracer.cpp:355-360) at its default resolution
+    # (src/main.cpp:65-66) — VERDICT r3 item 9
+    "hm2_720p": dict(n=20_000, seed=3, width=1280, height=720,
+                     fisheye=False, hm=2),
     "bench_540p": dict(n=100_000, seed=0, width=960, height=540,
                        fisheye=False, hm=1),
 }

@@ -71,7 +71,9 @@ def _psnr(a, b):
     return 10.0 * np.log10(1.0 / max(mse, 1e-12))
 
 
-@pytest.mark.parametrize("name", ["pinhole_720p", "fisheye_720", "hm2_360p"])
+@pytest.mark.parametrize(
+    "name", ["pinhole_720p", "fisheye_720", "hm2_360p", "hm2_720p"]
+)
 def test_fullframe_parity(name):
     ref, scene, camera, config = _load(name)
     # drop-free capacity (silently dropped pairs read as parity failures;
