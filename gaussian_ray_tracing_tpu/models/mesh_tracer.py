@@ -525,6 +525,228 @@ def render_with_mesh_fast(
             "aux": {"block_dropped": drops, "pair_dropped": stream.n_dropped}}
 
 
+def planar_mirror_plane(mesh: TriangleMesh, config: RenderConfig):
+    """Detect a single planar MIRROR rectangle (the reference's headline
+    demo shape, src/geometry/Primitives.cpp:6-61 + MIRROR mode).
+
+    Returns a dict of static plane data (unit normal n, offset d, in-plane
+    basis b1/b2, rect bounds) when the mesh's active faces are coplanar,
+    all effectively MIRROR, and the triangles tile their own in-plane
+    bounding rectangle (so point-in-rect is an exact hit test); else None.
+    Runs on CONCRETE arrays only (host-side dispatch, not under jit).
+    """
+    import numpy as np
+
+    try:
+        wv = np.asarray(mesh.world_vertices())
+    except jax.errors.TracerArrayConversionError:
+        return None
+    faces = np.asarray(mesh.faces)[: mesh.num_faces]
+    if faces.shape[0] == 0:
+        return None
+    if mesh.face_types is None:
+        if int(config.mesh_type) != int(MeshType.MIRROR):
+            return None
+    else:
+        ft = np.asarray(mesh.face_types)[: mesh.num_faces]
+        eff = np.where(ft < 0, int(config.mesh_type), ft)
+        if not (eff == int(MeshType.MIRROR)).all():
+            return None
+    v0, v1, v2 = wv[faces[:, 0]], wv[faces[:, 1]], wv[faces[:, 2]]
+    cr = np.cross(v1 - v0, v2 - v0)
+    areas = 0.5 * np.linalg.norm(cr, axis=-1)
+    if (areas < 1e-12).any():
+        return None
+    n0 = cr[np.argmax(areas)]
+    n0 = n0 / np.linalg.norm(n0)
+    # coplanarity of every active vertex
+    used = np.unique(faces.reshape(-1))
+    pv = wv[used]
+    d0 = float(np.median(pv @ n0))
+    scale_ref = max(1.0, float(np.abs(pv).max()))
+    if np.abs(pv @ n0 - d0).max() > 1e-4 * scale_ref:
+        return None
+    # in-plane rect bounds + full-coverage check (sum of tri areas must
+    # tile the bbox, else the rect test would over-report hits)
+    e = v1[0] - v0[0]
+    b1 = e - float(e @ n0) * n0
+    b1 = b1 / np.linalg.norm(b1)
+    b2 = np.cross(n0, b1)
+    c1, c2 = pv @ b1, pv @ b2
+    lo1, hi1, lo2, hi2 = c1.min(), c1.max(), c2.min(), c2.max()
+    bbox_area = (hi1 - lo1) * (hi2 - lo2)
+    if bbox_area <= 0 or abs(areas.sum() - bbox_area) > 1e-3 * bbox_area:
+        return None
+    return dict(
+        n=np.asarray(n0, np.float32), d=np.float32(d0),
+        b1=np.asarray(b1, np.float32), b2=np.asarray(b2, np.float32),
+        lo1=np.float32(lo1), hi1=np.float32(hi1),
+        lo2=np.float32(lo2), hi2=np.float32(hi2),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "pair_capacity", "chunk", "interpret",
+                     "n", "d", "b1", "b2", "lo1", "hi1", "lo2", "hi2"),
+)
+def render_with_mesh_planar_mirror(
+    scene: GaussianScene,
+    camera: Camera,
+    config: RenderConfig,
+    n, d, b1, b2, lo1, hi1, lo2, hi2,  # static plane data (python floats)
+    pair_capacity: int | None = None,
+    chunk: int | None = None,
+    interpret: bool | None = None,
+):
+    """Planar-mirror fast path: the bounce-1 march is a REFLECTED PINHOLE
+    FRAME, not a morton-block sweep.
+
+    All rays reflected off a plane mirror pass through the reflected eye
+    e' = M_r eye (M_r = reflection across the plane), with the SAME focal
+    |d| per pixel — so the bounce segment can be binned with the cheap
+    screen-space pair stream of a mirrored camera and marched with per-ray
+    [t_hit + t_min, t_max] windows and the primary segment's transmittance
+    carry. A look-at camera cannot represent the det=-1 reflected frame
+    (cross products force det=+1), so the mirror camera is built with
+    up' = M_r up, which lands the reflection of primary pixel (x, y) at
+    mirror pixel (W-1-x, y): a pure x-flip, applied to the carried
+    image-space arrays. Gaussians entirely on the far side of the mirror
+    (never reachable by reflected rays) are dropped before binning.
+    Semantics identical to render_with_mesh_fast's MIRROR bookkeeping
+    (shaders/tracer.cu:59-106); a plane-reflected ray can never re-hit
+    the same plane, so bounce 1 is every hit ray's final gaussian pass.
+    """
+    from gaussian_ray_tracing_tpu.models.pallas_renderer import (
+        _interpret_default,
+        prepare_pair_stream,
+    )
+    from gaussian_ray_tracing_tpu.models.tiled import (
+        default_pair_capacity,
+        tile_rays,
+        untile_image,
+    )
+    from gaussian_ray_tracing_tpu.ops.response import adaptive_radius
+    from gaussian_ray_tracing_tpu.ops.tiles import num_tiles
+
+    if interpret is None:
+        interpret = _interpret_default()
+    if chunk is None:
+        chunk = max(32, min(config.march_chunk, 256))
+    if pair_capacity is None:
+        pair_capacity = default_pair_capacity(scene.num_gaussians)
+    nv = jnp.asarray(n, jnp.float32)
+    b1v = jnp.asarray(b1, jnp.float32)
+    b2v = jnp.asarray(b2, jnp.float32)
+
+    tx_n, ty_n = num_tiles(camera, config)
+    n_tiles = tx_n * ty_n
+    R = config.rays_per_tile
+    H, W = camera.height, camera.width
+    t3 = lambda x: tile_rays(x, config.tile_w, config.tile_h)
+    t2 = lambda x: t3(x[..., None])[..., 0]
+
+    # --- primary pass: analytic plane rectangle closest-hit -------------
+    origins, dirs, valid = generate_rays(camera, config)
+    eye = jnp.asarray(camera.eye, jnp.float32)
+    ndot = dirs @ nv  # (H, W)
+    live0 = jnp.sum(dirs * dirs, axis=-1) > 0.01
+    t_plane = (d - eye @ nv) / jnp.where(
+        jnp.abs(ndot) > 1e-12, ndot, jnp.inf
+    )
+    p_hit = eye + t_plane[..., None] * dirs
+    c1 = p_hit @ b1v
+    c2 = p_hit @ b2v
+    hit = (
+        live0
+        & (t_plane >= config.mesh_t_min)
+        & (t_plane <= config.mesh_t_max)
+        & (c1 >= lo1) & (c1 <= hi1) & (c2 >= lo2) & (c2 <= hi2)
+    )
+
+    stream, pair_feats, _t, _b = prepare_pair_stream(
+        scene, camera, config, pair_capacity, chunk
+    )
+    seg_hi = jnp.where(hit, t_plane, config.t_max)
+    rgb0_t, t0_t = pallas_march_stream(
+        stream.starts, eye, pair_feats, t3(dirs), config,
+        n_tiles=n_tiles, rays_per_tile=R, chunk=chunk, interpret=interpret,
+        t_hi=t2(seg_hi), quad=True,
+    )
+    rgb0 = untile_image(rgb0_t, H, W, config.tile_w, config.tile_h)
+    t_after0 = untile_image(
+        t0_t[..., None], H, W, config.tile_w, config.tile_h
+    )[..., 0]
+    density0 = 1.0 - t_after0
+
+    # --- bounce 1: mirrored-camera frame --------------------------------
+    refl = lambda p: p - 2.0 * (p @ nv - d) * nv
+    m_r = lambda v: v - 2.0 * (v @ nv) * nv
+    eye_m = refl(eye)
+    cam_m = Camera.create(
+        eye=eye_m, lookat=refl(jnp.asarray(camera.lookat, jnp.float32)),
+        up=m_r(jnp.asarray(camera.up, jnp.float32)),
+        fov_y_deg=camera.fov_y_deg, width=W, height=H,
+    )
+    # drop gaussians wholly on the mirror's far side (t_lo can never
+    # reach them): reflected rays march only the eye-side halfspace
+    side = jnp.sign(eye @ nv - d)
+    bound_r = adaptive_radius(scene.opacities, config.alpha_min) * jnp.max(
+        scene.scales, axis=-1
+    )
+    behind = side * (scene.means @ nv - d) < -bound_r
+    scene_m = GaussianScene(
+        means=scene.means, scales=scene.scales, quats=scene.quats,
+        opacities=jnp.where(behind, 0.0, scene.opacities), sh=scene.sh,
+        num_active=scene.num_gaussians,
+    )
+    stream_m, feats_m, _t2, _b2 = prepare_pair_stream(
+        scene_m, cam_m, config, pair_capacity, chunk
+    )
+    _o_m, dirs_m, _v_m = generate_rays(cam_m, config)
+    flip = lambda img: img[:, ::-1]
+    hit_m = flip(hit)
+    # same |d| per mirrored pixel => same t parameter: window starts at
+    # the plane hit + t_min (tracer.cu:84-99 marches [t_min, t_hit] then
+    # restarts the bounced ray at t_min past the new origin)
+    t_lo_m = jnp.where(hit_m, flip(t_plane) + config.t_min, jnp.inf)
+    t0_m = jnp.where(hit_m, flip(t_after0), 0.0)
+    rgb1_t, t1_t = pallas_march_stream(
+        stream_m.starts, jnp.asarray(cam_m.eye, jnp.float32), feats_m,
+        t3(dirs_m), config, n_tiles=n_tiles, rays_per_tile=R, chunk=chunk,
+        interpret=interpret, t_lo=t2(t_lo_m), t0=t2(t0_m), quad=True,
+    )
+    rgb1 = flip(untile_image(rgb1_t, H, W, config.tile_w, config.tile_h))
+    t_after1 = flip(untile_image(
+        t1_t[..., None], H, W, config.tile_w, config.tile_h
+    )[..., 0])
+    density1 = 1.0 - t_after1  # cumulative (carry t0 = t_after0)
+
+    # --- bookkeeping, exactly render_with_mesh_fast's mask arithmetic ---
+    # miss rays: bounce-0 march was their final pass
+    miss = live0 & ~hit
+    rgb = jnp.where(
+        miss[..., None], rgb0 * density0[..., None], 0.0
+    )
+    alpha = jnp.where(miss, density0, 0.0)
+    # hit rays: mid-bounce accumulation then the bounce-1 final pass
+    blocking = jnp.clip(density0, 0.0, 1.0)
+    rgb = jnp.where(
+        hit[..., None],
+        rgb0 + rgb1 * density1[..., None] * (1.0 - blocking)[..., None],
+        rgb,
+    )
+    alpha = jnp.where(
+        hit, jnp.clip(jnp.clip(density0, 0.0, 1.0) + density1, 0.0, 1.0),
+        alpha,
+    )
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    alpha = jnp.where(valid, alpha, 0.0)
+    return {"rgb": rgb, "alpha": alpha,
+            "aux": {"pair_dropped": stream.n_dropped + stream_m.n_dropped}}
+
+
 def render_with_mesh(
     scene: GaussianScene,
     mesh: TriangleMesh,
@@ -534,10 +756,24 @@ def render_with_mesh(
 ):
     """Full-frame render with secondary-ray mesh effects.
 
-    Dispatches to the Pallas fast path on TPU (or when config.use_pallas),
-    else to the exact oracle path (CPU tests / small scenes)."""
+    Dispatches to the Pallas fast path on TPU (or when config.use_pallas)
+    — with a reflected-frame specialization when the mesh is one planar
+    MIRROR rectangle — else to the exact oracle path (CPU tests / small
+    scenes)."""
     import jax as _jax
 
     if config.use_pallas or _jax.default_backend() == "tpu":
+        plane = planar_mirror_plane(mesh, config)
+        if plane is not None and "loop_bound" not in kw:
+            return render_with_mesh_planar_mirror(
+                scene, camera, config,
+                n=tuple(float(x) for x in plane["n"]),
+                d=float(plane["d"]),
+                b1=tuple(float(x) for x in plane["b1"]),
+                b2=tuple(float(x) for x in plane["b2"]),
+                lo1=float(plane["lo1"]), hi1=float(plane["hi1"]),
+                lo2=float(plane["lo2"]), hi2=float(plane["hi2"]),
+                **kw,
+            )
         return render_with_mesh_fast(scene, mesh, camera, config, **kw)
     return render_with_mesh_oracle(scene, mesh, camera, config, **kw)

@@ -261,6 +261,69 @@ def project_footprints_conic(
     )
 
 
+def _cone_azimuth_interval(gf, q0x, q0y):
+    """Exact azimuth interval of the quadratic cone d^T G_f d <= 0 in the
+    frame basis (z = optical axis).
+
+    A meridian half-plane at azimuth p contains cone directions iff the
+    2x2 restriction of G_f to span{(cos p, sin p, 0), z} has a
+    nonpositive eigenvalue; since G_f has exactly one negative eigenvalue
+    no 2-plane is negative definite, so the condition is det <= 0, which
+    condenses to q^T H q <= 0 for q = (cos p, sin p) with
+        H = g33 * [[g11, g12], [g12, g22]] - [g13, g23][g13, g23]^T.
+    H indefinite: the azimuth set is the +/-q sector pair bounded by H's
+    null directions (closed form); the forward nappe's sector is the one
+    containing the cap-axis azimuth q0. H nsd (or degenerate): all
+    azimuths. Returns (e1x, e1y, e2x, e2y, az_wrap).
+    """
+    g11, g12, g13, g22, g23, g33 = gf
+    alpha = g33 * g11 - g13 * g13
+    beta = g33 * g12 - g13 * g23
+    gamma = g33 * g22 - g23 * g23
+    detH = alpha * gamma - beta * beta
+    az_wrap = detH >= -1e-12 * jnp.maximum(alpha * alpha + gamma * gamma, 1e-30)
+    sq = jnp.sqrt(jnp.maximum(beta * beta - alpha * gamma, 0.0))
+    # null directions of q^T H q: gamma s^2 + 2 beta c s + alpha c^2 = 0.
+    # Two algebraic forms, each ill-conditioned where its denominator
+    # vanishes — build both roots from the stable pairing (q = (c, s)):
+    #   s/c = (-beta ± sq)/gamma   <->   c/s = (-beta ∓ sq)/alpha
+    big_g = jnp.abs(gamma) >= jnp.abs(alpha)
+    e1x = jnp.where(big_g, gamma, -beta - sq)
+    e1y = jnp.where(big_g, -beta + sq, alpha)
+    e2x = jnp.where(big_g, gamma, -beta + sq)
+    e2y = jnp.where(big_g, -beta - sq, alpha)
+
+    def unit(x, y):
+        n = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-30))
+        return x / n, y / n
+
+    e1x, e1y = unit(e1x, e1y)
+    e2x, e2y = unit(e2x, e2y)
+    # orient the endpoints so the axis azimuth lies INSIDE the chosen
+    # sector: solve q0 = a*e1 + b*e2 and flip each endpoint by its
+    # coefficient's sign (a plain dot test can pick the wrong sign when
+    # the sector half-width exceeds pi/2). Near-parallel endpoints
+    # (det ~ 0) fall back to all-azimuth.
+    det = e1x * e2y - e1y * e2x
+    a_c = q0x * e2y - q0y * e2x  # a * det
+    b_c = e1x * q0y - e1y * q0x  # b * det
+    s1 = jnp.sign(a_c * det)
+    s2 = jnp.sign(b_c * det)
+    s1 = jnp.where(s1 == 0.0, 1.0, s1)
+    s2 = jnp.where(s2 == 0.0, 1.0, s2)
+    az_wrap = az_wrap | (jnp.abs(det) < 1e-6)
+    e1x, e1y = e1x * s1, e1y * s1
+    e2x, e2y = e2x * s2, e2y * s2
+    # widen each endpoint ~2e-3 rad AWAY from the axis azimuth (f32
+    # margin over the exact boundary; rotation linearized, |e| ~ 1)
+    eps = 2e-3
+    r1 = -jnp.sign(e1x * q0y - e1y * q0x) * eps
+    r2 = -jnp.sign(e2x * q0y - e2y * q0x) * eps
+    e1x, e1y = e1x - r1 * e1y, e1y + r1 * e1x
+    e2x, e2y = e2x - r2 * e2y, e2y + r2 * e2x
+    return e1x, e1y, e2x, e2y, az_wrap
+
+
 def fisheye_cone_caps(means, scales, quats, radius, camera):
     """Exact hit-cone caps: per gaussian, the tightest (axis, half-angle)
     spherical cap containing every world direction d whose forward ray
@@ -367,7 +430,29 @@ def fisheye_cone_caps(means, scales, quats, radius, camera):
     vn = jnp.sqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-30))
     # sign: toward the gaussian (axis . (mu - eye) > 0)
     sgn = jnp.where(vx * ox + vy * oy + vz * oz > 0.0, -1.0, 1.0) / vn
-    return vx * sgn, vy * sgn, vz * sgn, delta, inside
+    vx, vy, vz = vx * sgn, vy * sgn, vz * sgn
+
+    # exact azimuth interval of the cone in the FRAME basis (the cap's
+    # azimuth half-width over-covers the elliptical cone's narrow axis)
+    U, V, W = camera.uvw_frame()
+    e1 = -U / jnp.linalg.norm(U)
+    e2 = -V / jnp.linalg.norm(V)
+    e3 = W / jnp.linalg.norm(W)
+
+    def gdot(u, w):  # u^T G w, G in normalized world components
+        return (
+            u[0] * (g00 * w[0] + g01 * w[1] + g02 * w[2])
+            + u[1] * (g01 * w[0] + g11 * w[1] + g12 * w[2])
+            + u[2] * (g02 * w[0] + g12 * w[1] + g22 * w[2])
+        )
+
+    gf = (gdot(e1, e1), gdot(e1, e2), gdot(e1, e3),
+          gdot(e2, e2), gdot(e2, e3), gdot(e3, e3))
+    q0x = vx * e1[0] + vy * e1[1] + vz * e1[2]
+    q0y = vx * e2[0] + vy * e2[1] + vz * e2[2]
+    az1x, az1y, az2x, az2y, az_wrap = _cone_azimuth_interval(gf, q0x, q0y)
+    return (vx, vy, vz, delta, inside,
+            az1x, az1y, az2x, az2y, az_wrap)
 
 
 def project_footprints(
@@ -465,14 +550,16 @@ def project_footprints(
         # (all azimuths when sin t0 <= sin dw or the cap holds a pole).
         if cone_caps is not None:
             # exact hit-cone caps (fisheye_cone_caps): axis + half-angle
-            # of the tightest cap over the forward hit directions —
-            # replaces the bounding-sphere cap below for anisotropic
-            # gaussians
-            cax, cay, caz, delta_w, inside = cone_caps
+            # of the tightest cap over the forward hit directions, plus
+            # the cone's EXACT frame-basis azimuth interval — replaces
+            # the bounding-sphere cap below for anisotropic gaussians
+            (cax, cay, caz, delta_w, inside,
+             az1x, az1y, az2x, az2y, az_wrap) = cone_caps
             ca = cax * (-u_hat[0]) + cay * (-u_hat[1]) + caz * (-u_hat[2])
             cb = cax * (-v_hat[0]) + cay * (-v_hat[1]) + caz * (-v_hat[2])
             cc_ax = cax * w_hat[0] + cay * w_hat[1] + caz * w_hat[2]
         else:
+            az_wrap = None
             delta_w = jnp.arcsin(jnp.clip(bound_radius / rho_safe, 0.0, 1.0))
             inside = rho <= bound_radius
             ca, cb, cc_ax = a / rho_safe, b / rho_safe, c / rho_safe
@@ -503,20 +590,29 @@ def project_footprints(
         # exact azimuth interval: world endpoints through the (monotone)
         # azimuth map p -> dir(su cos p, sv sin p), all angle-addition —
         # no trig calls
-        cos_dphi_w = jnp.where(
-            wrap, -1.0,
-            jnp.sqrt(jnp.clip(
-                1.0 - (sin_dw / jnp.maximum(sin_t0w, _EPS)) ** 2, 0.0, 1.0
-            )),
-        )
-        sin_dphi_w = jnp.sqrt(jnp.maximum(1.0 - cos_dphi_w * cos_dphi_w, 0.0))
-        planar_w = jnp.sqrt(jnp.maximum(ca * ca + cb * cb, _EPS * _EPS))
-        cphi0 = ca / planar_w
-        sphi0 = cb / planar_w
-        c1w = cphi0 * cos_dphi_w + sphi0 * sin_dphi_w  # cos(p0 - dphi)
-        s1w = sphi0 * cos_dphi_w - cphi0 * sin_dphi_w
-        c2w = cphi0 * cos_dphi_w - sphi0 * sin_dphi_w  # cos(p0 + dphi)
-        s2w = sphi0 * cos_dphi_w + cphi0 * sin_dphi_w
+        if az_wrap is not None:
+            # exact elliptical-cone azimuth endpoints (frame basis)
+            c1w, s1w, c2w, s2w = az1x, az1y, az2x, az2y
+            awrap = az_wrap
+        else:
+            # cap-based azimuth interval (conservative)
+            cos_dphi_w = jnp.where(
+                wrap, -1.0,
+                jnp.sqrt(jnp.clip(
+                    1.0 - (sin_dw / jnp.maximum(sin_t0w, _EPS)) ** 2, 0.0, 1.0
+                )),
+            )
+            sin_dphi_w = jnp.sqrt(
+                jnp.maximum(1.0 - cos_dphi_w * cos_dphi_w, 0.0)
+            )
+            planar_w = jnp.sqrt(jnp.maximum(ca * ca + cb * cb, _EPS * _EPS))
+            cphi0 = ca / planar_w
+            sphi0 = cb / planar_w
+            c1w = cphi0 * cos_dphi_w + sphi0 * sin_dphi_w  # cos(p0 - dphi)
+            s1w = sphi0 * cos_dphi_w - cphi0 * sin_dphi_w
+            c2w = cphi0 * cos_dphi_w - sphi0 * sin_dphi_w  # cos(p0 + dphi)
+            s2w = sphi0 * cos_dphi_w + cphi0 * sin_dphi_w
+            awrap = wrap
 
         def _img_az(cw, sw_):
             x, y = su * cw, sv * sw_
@@ -534,7 +630,7 @@ def project_footprints(
         cphi = jnp.where(degen, lx / planar, mx / mn)
         sphi = jnp.where(degen, ly / planar, my / mn)
         cos_dphi = jnp.where(
-            wrap | degen, -1.0,
+            awrap | degen, -1.0,
             jnp.clip(cphi * c1 + sphi * s1, -1.0, 1.0),
         )
         sin_dphi = jnp.sqrt(jnp.maximum(1.0 - cos_dphi * cos_dphi, 0.0))

@@ -374,8 +374,14 @@ class Trainer:
 
         losses: list[float] = []
         cur = 0
+        # segment-length cap: one jitted fori_loop per span, but never so
+        # long that a single device program runs for minutes — the
+        # tunneled TPU worker drops multi-minute programs (both round-4
+        # 10k-step runs died exactly at the 5k-step post-densify span),
+        # and shorter segments also bound checkpoint/loss-fetch latency
+        max_seg = 512
         while cur < steps:
-            n = min(_next_event(cur), steps) - cur
+            n = min(_next_event(cur), steps, cur + max_seg) - cur
             run = _runner(n, self._pair_capacity)
             self.state, self.dstate, larr = run(
                 self.state, self.dstate, jnp.int32(cur),

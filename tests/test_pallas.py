@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from gaussian_ray_tracing_tpu.cameras import Camera
-from gaussian_ray_tracing_tpu.config import CameraModel, RenderConfig
+from gaussian_ray_tracing_tpu.config import CameraModel, MeshType, RenderConfig
 from gaussian_ray_tracing_tpu.models.oracle import render_oracle
 from gaussian_ray_tracing_tpu.models.pallas_renderer import render_pallas
 from gaussian_ray_tracing_tpu.models.renderer import render
@@ -491,3 +491,43 @@ class TestObjMesh:
         assert np.isfinite(rgb).all()
         # the cube front face must occlude the scene center with normal color
         assert rgb[16, 24].min() > 0.05
+
+
+class TestPlanarMirrorFastPath:
+    def test_matches_block_path(self):
+        """The reflected-frame planar-mirror specialization computes the
+        same image as the generic morton-block bounce path (which is
+        itself pinned vs the oracle in TestMeshFast)."""
+        from gaussian_ray_tracing_tpu.models.mesh_tracer import (
+            planar_mirror_plane,
+            render_with_mesh,
+            render_with_mesh_fast,
+        )
+        from gaussian_ray_tracing_tpu.scene.mesh import make_plane
+
+        cfg = RenderConfig(hit_multiplicity=1, order="window",
+                           march_chunk=64, mesh_type=MeshType.MIRROR,
+                           use_pallas=True)
+        scene = random_scene(1200, seed=3)
+        mesh = make_plane(position=(0.0, -0.1, 0.8), width=1.2, height=1.0)
+        assert planar_mirror_plane(mesh, cfg) is not None
+        a = render_with_mesh_fast(scene, mesh, CAM, cfg,
+                                  pair_capacity=100_000)
+        b = render_with_mesh(scene, mesh, CAM, cfg, pair_capacity=100_000)
+        assert float(psnr(np.asarray(a["rgb"]), np.asarray(b["rgb"]))) > 55.0
+        np.testing.assert_allclose(np.asarray(a["alpha"]),
+                                   np.asarray(b["alpha"]), atol=2e-3)
+
+    def test_rejects_non_planar_and_non_mirror(self):
+        from gaussian_ray_tracing_tpu.models.mesh_tracer import (
+            planar_mirror_plane,
+        )
+        from gaussian_ray_tracing_tpu.scene.mesh import make_plane, make_sphere
+
+        cfg = RenderConfig(mesh_type=MeshType.MIRROR)
+        sphere = make_sphere(tess_u=24, tess_v=12)
+        assert planar_mirror_plane(sphere, cfg) is None
+        plane = make_plane()
+        assert planar_mirror_plane(
+            plane, cfg.replace(mesh_type=MeshType.GLASS)) is None
+        assert planar_mirror_plane(plane, cfg) is not None
