@@ -57,17 +57,29 @@ class GaussianModel:
         )
 
     def to_ply(self, path: str) -> None:
-        """Checkpoint raw params back to a standard 3DGS PLY."""
+        """Checkpoint raw params back to a standard 3DGS PLY.
+
+        Densification (train/density.py) scatters clones/splits into dead
+        slots ANYWHERE in the static-capacity arrays, so the saved set is
+        the first num_active slots UNION every slot alive beyond them —
+        truncating at num_active silently dropped most of a densified
+        scene (round-4 bug: a 24.5k-alive fit saved 2k gaussians and
+        evaluated at 8.9 dB)."""
         from gaussian_ray_tracing_tpu.scene.ply import save_ply
 
         n = self.num_active or self.means.shape[0]
+        raw_op = np.asarray(self.raw_opacities)
+        keep = np.zeros(raw_op.shape[0], bool)
+        keep[:n] = True
+        # DEAD_LOGIT + 1 threshold, as train/density._alive_mask
+        keep |= raw_op > -11.0
         save_ply(
             path,
-            np.asarray(self.means[:n]),
-            np.asarray(self.log_scales[:n]),
-            np.asarray(self.raw_quats[:n]),
-            np.asarray(self.raw_opacities[:n]),
-            np.asarray(self.sh[:n]),
+            np.asarray(self.means)[keep],
+            np.asarray(self.log_scales)[keep],
+            np.asarray(self.raw_quats)[keep],
+            np.asarray(self.raw_opacities)[keep],
+            np.asarray(self.sh)[keep],
         )
 
     @staticmethod

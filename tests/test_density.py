@@ -227,3 +227,26 @@ class TestTrainerDensity:
         losses = tr.fit([(cam, target)], steps=10)
         assert tr.alive() > before  # threshold 0 -> everything densifies
         assert np.isfinite(losses).all()
+
+
+def test_to_ply_keeps_densified_slots_beyond_num_active(tmp_path):
+    """Densification scatters births into dead slots anywhere in the
+    static-capacity arrays; to_ply must save them (round-4 bug: a
+    24.5k-alive fit saved its first 2k slots and evaluated at 8.9 dB)."""
+    import numpy as np
+
+    from gaussian_ray_tracing_tpu.models.gaussian_model import GaussianModel
+    from gaussian_ray_tracing_tpu.scene.ply import load_ply
+    from gaussian_ray_tracing_tpu.scene.synthetic import random_scene
+
+    model = GaussianModel.from_scene(random_scene(64, seed=1, pad_to=256))
+    # births beyond num_active (as train/density._scatter_rows would make)
+    raw_op = np.array(model.raw_opacities)
+    raw_op[200:210] = 0.5
+    model = dataclasses.replace(
+        model, raw_opacities=jnp.asarray(raw_op)
+    )
+    path = str(tmp_path / "densified.ply")
+    model.to_ply(path)
+    reloaded = load_ply(path)
+    assert reloaded.num_active == model.num_active + 10
