@@ -84,9 +84,11 @@ def main():
     )
     chunk = 128
     scene = jax.device_put(random_scene(args.n, seed=0))
-    mesh = (make_plane(center=(0.0, -0.35, 0.0), size=(2.4, 2.4))
+    from gaussian_ray_tracing_tpu.config import MeshType as _MT
+
+    mesh = (make_plane((0.0, 0.0, 0.5)).with_type(_MT.MIRROR)
             if args.kind == "mirror"
-            else make_sphere(center=(0.0, 0.0, 0.8), radius=0.45))
+            else make_sphere((0.0, 0.0, 0.5)).with_type(_MT.GLASS))
     cap = default_pair_capacity(scene.num_gaussians)
     tx_n, ty_n = num_tiles(
         Camera.create(eye=(0, 0.3, 2.8), lookat=(0, 0, 0),

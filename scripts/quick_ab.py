@@ -41,19 +41,19 @@ def snug(scene, cam, config, method):
     raise AssertionError("no drop-free capacity")
 
 
-def time_config(config, scene, cap, method):
+def time_config(config, scene, cap, method, w=WIDTH, h=HEIGHT):
     # the snug cap was verified drop-free at the probe camera only; assert
     # the animation's last (max-displacement) camera also drops nothing —
     # silent pair drops during timed frames would fake a speedup
     last = Camera.create(eye=(0.002 * 7, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
-                         width=WIDTH, height=HEIGHT)
+                         width=w, height=h)
     aux = render(scene, last, config, method=method, pair_capacity=cap,
                  return_aux=True)["aux"]
     assert int(aux["n_dropped"]) == 0, f"drops at animated camera: {aux}"
 
     def frame(i):
         cam = Camera.create(eye=(0.002 * i, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
-                            width=WIDTH, height=HEIGHT)
+                            width=w, height=h)
         return render(scene, cam, config, method=method,
                       pair_capacity=cap)["rgb"].mean()
 
@@ -78,18 +78,27 @@ def time_config(config, scene, cap, method):
 
 
 def main():
+    from gaussian_ray_tracing_tpu.config import CameraModel
+
     method = "pallas" if jax.default_backend() == "tpu" else "tiled"
     scene = jax.device_put(random_scene(100_000, seed=0))
     base = dict(hit_multiplicity=1, order="window", march_chunk=128)
     variants = [json.loads(a) for a in sys.argv[1:]] or [{}]
     for ov in variants:
+        # JSON can't carry the enum: {"camera_model": "fisheye"} etc.
+        if isinstance(ov.get("camera_model"), str):
+            ov = {**ov, "camera_model": CameraModel(ov["camera_model"])}
         config = RenderConfig(**{**base, **ov})
+        w, h = (WIDTH, HEIGHT)
+        if config.camera_model == CameraModel.FISHEYE:
+            w, h = 768, 768  # the bench fisheye row's frame
         cam = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
-                            width=WIDTH, height=HEIGHT)
+                            width=w, height=h)
         cap, n_pairs = snug(scene, cam, config, method)
-        dt = time_config(config, scene, cap, method)
-        mrays = WIDTH * HEIGHT / dt / 1e6
-        print(f"{json.dumps(ov):50s} cap={cap:8d} pairs={n_pairs:8d} "
+        dt = time_config(config, scene, cap, method, w, h)
+        mrays = w * h / dt / 1e6
+        label = json.dumps({k: getattr(v, "value", v) for k, v in ov.items()})
+        print(f"{label:50s} cap={cap:8d} pairs={n_pairs:8d} "
               f"{dt * 1e3:7.2f} ms  {mrays:6.2f} Mrays/s", flush=True)
 
 
