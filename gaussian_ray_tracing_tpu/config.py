@@ -177,6 +177,19 @@ class RenderConfig:
     # the VPU is saturated and the MXU idle: measured +3.1 ms there and
     # -2.7 ms in key order (PERF.md round-3 kernel matrix).
     sh_mxu: bool = True
+    # Hit ordering for BOUNCED gaussian segments (the morton-block march
+    # of models/mesh_tracer.render_with_mesh_fast). "window" matches the
+    # primary march's parity-grade per-ray ordering; "key" composites in
+    # near-to-far block order only — block-ordered chunks fire the window
+    # sort on nearly every chunk (unlike the depth-presorted primary
+    # stream), so "key" trades bounded ordering error inside each
+    # 128-gaussian block for skipping the bitonic network entirely.
+    bounce_order: str = "window"
+    # Per-tile near-to-far morton-block budget for bounced segments
+    # (ops/blocks.block_stream max_per_tile): blocks beyond it are the
+    # tile's FARTHEST, which early termination under the carried
+    # transmittance rarely reaches.
+    bounce_block_budget: int = 16
     # Split the window sort's fire test + network into independent 128-lane
     # groups (render-only; R must be a multiple of 128). The idea: a (c, R)
     # sort network costs R/128x the (c, 128) one, so an inversion confined

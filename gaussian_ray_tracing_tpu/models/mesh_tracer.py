@@ -330,12 +330,13 @@ def render_with_mesh_fast(
     n_tiles = tx_n * ty_n
     R = config.rays_per_tile
     if block_capacity is None:
-        # a HARD per-tile budget of 16 near-to-far blocks (block_stream
-        # max_per_tile): the capacity clip can then never starve a tile.
-        # Measured need on the adversarial 100k mirror scene: median 11,
-        # mean 17 blocks/tile — the clamp drops only the farthest blocks
-        # of the heaviest tiles, which early termination rarely reaches.
-        block_capacity = n_tiles * chunk * 16
+        # a HARD per-tile budget of bounce_block_budget near-to-far blocks
+        # (block_stream max_per_tile): the capacity clip can then never
+        # starve a tile. Measured need on the adversarial 100k mirror
+        # scene: median 11, mean 17 blocks/tile — the clamp drops only
+        # the farthest blocks of the heaviest tiles, which early
+        # termination rarely reaches.
+        block_capacity = n_tiles * chunk * config.bounce_block_budget
     block_capacity = (block_capacity // chunk) * chunk
 
     from gaussian_ray_tracing_tpu.ops.pallas_tri import (
@@ -436,7 +437,9 @@ def render_with_mesh_fast(
             drops = drops + bstream.n_dropped
             rgb_t, t_next = pallas_march_stream(
                 bstream.starts, camera.eye.astype(jnp.float32), sorted_table,
-                d_live, config, n_tiles=n_tiles, rays_per_tile=R, chunk=chunk,
+                d_live,
+                config.replace(order=config.bounce_order),
+                n_tiles=n_tiles, rays_per_tile=R, chunk=chunk,
                 interpret=interpret, origins_t=o_t, t_hi=seg_hi, t0=trans,
                 block_offsets=bstream.blk,
             )
