@@ -183,10 +183,11 @@ def _run():
     try:  # fisheye row (equisolid, blanked r>1 ring, tracer.cuh:153-161)
         fcam = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
                              width=768, height=768)
-        # fisheye parity config: window/256 (wider ordering inversions
-        # under the frame-normalized angular mapping; PERF.md round 3)
-        fcfg = config.replace(camera_model=CameraModel.FISHEYE,
-                              march_chunk=256)
+        # fisheye parity config: window/128 — the round-4 exact cone-cap
+        # footprints cut dead pairs enough that the 128-candidate sort
+        # window clears the bar (45.4 dB vs the fisheye_720 golden;
+        # window/256 was needed at 40.3 dB with the old loose rects)
+        fcfg = config.replace(camera_model=CameraModel.FISHEYE)
         fcap = _snug_capacity(scene, fcam, fcfg, method)
         extra["fisheye_768_mrays"] = round(
             _mrays(scene, fcam, fcfg, method, fcap), 2

@@ -48,10 +48,11 @@ def _load(name):
         hit_multiplicity=hm,
         camera_model=(CameraModel.FISHEYE if fisheye else CameraModel.PINHOLE),
         order="window",
-        # fisheye's parity config is window/256: ordering inversions are
-        # wider under the frame-normalized angular mapping (window/128 is
-        # ~36.5 dB, /256 is 40.3 on the 256^2 probe; PERF.md round 3)
-        march_chunk=256 if fisheye else 128,
+        # window/128 is the parity config for BOTH camera models since
+        # the round-4 exact fisheye cone caps: fewer dead pairs per chunk
+        # widen the effective sort window (fisheye /128: 36.5 dB with the
+        # old loose rects -> 45.4 vs the same golden)
+        march_chunk=128,
         # the XLA tiled path clips per-tile candidate lists at max_per_tile
         # (the Pallas pair stream has no such cap): hm2_360p's densest tile
         # holds ~1050 candidates, fisheye's conservative rects more — raise
