@@ -234,7 +234,14 @@ def cmd_fit(args):
     from gaussian_ray_tracing_tpu.scene.synthetic import random_scene
     from gaussian_ray_tracing_tpu.train.trainer import Trainer
 
-    cfg = RenderConfig(hit_multiplicity=1, order="key",
+    # training forward ordering: "key" (fast sorted-splatting) composites
+    # adjacent tiles' shared gaussians in different depth orders, leaving
+    # 16x16 tile-seam noise (~30 dB floor) that gradients BAKE into the
+    # scene; "window" (per-ray ordered, the parity config — the
+    # hand-written backward replays its sort) removes that floor at
+    # ~1.5-2x the step cost
+    cfg = RenderConfig(hit_multiplicity=1, order=args.order,
+                       march_chunk=128 if args.order == "window" else 256,
                        sh_degree=args.sh_degree)
     if getattr(args, "dataset", None):
         import jax.numpy as jnp
@@ -409,9 +416,11 @@ def cmd_eval(args):
     from gaussian_ray_tracing_tpu.utils.image import psnr
 
     # parity-grade ordering: key order's ~30 dB ordering noise would cap
-    # the measurable fit quality below the scores being evaluated
+    # the measurable fit quality below the scores being evaluated.
+    # max_per_tile raised for the XLA fallback path: a dense trained scene
+    # overflows the 1024 default per-tile list (the pallas path has no cap)
     cfg = RenderConfig(hit_multiplicity=1, order="window", march_chunk=128,
-                       sh_degree=args.sh_degree)
+                       sh_degree=args.sh_degree, max_per_tile=8192)
     if getattr(args, "dataset", None):
         from gaussian_ray_tracing_tpu.scene.dataset import load_nerf_synthetic
 
@@ -420,8 +429,20 @@ def cmd_eval(args):
         )
         b = load_ply(args.against)
         scores = []
+        cap = None
         for cam, img in views:
-            rb = np.asarray(render(b, cam, cfg)["rgb"])
+            # drop-free capacity, escalated across views (a dense trained
+            # scene overflows the default bucket and capacity drops show
+            # as tile-blocky holes scored as fit error)
+            for _ in range(4):
+                out = render(b, cam, cfg, pair_capacity=cap,
+                             return_aux=True)
+                if int(out["aux"]["n_dropped"]) == 0:
+                    break
+                cap = max(int(out["aux"]["n_pairs"] * 1.3),
+                          (cap or 0) * 2)
+                cap = -(-cap // 65536) * 65536
+            rb = np.asarray(out["rgb"])
             scores.append(float(psnr(np.asarray(img), rb)))
         print(json.dumps({
             "psnr_mean": round(float(np.mean(scores)), 2),
@@ -568,6 +589,10 @@ def main(argv=None):
     p.add_argument("--views", type=int, default=None,
                    help="number of views (synthetic default 8; --dataset "
                    "default: the whole split)")
+    p.add_argument("--order", choices=["key", "window"], default="key",
+                   help="training-forward hit ordering: key = fast "
+                   "sorted splatting (tile-seam noise floor), window = "
+                   "per-ray ordered (parity-grade, ~1.5-2x step cost)")
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--fit-gaussians", type=int, default=2000)
     p.add_argument("--sh-degree", type=int, default=0)
