@@ -39,9 +39,13 @@ N_GAUSSIANS = 100_000
 NORTH_STAR_MRAYS = 1000.0  # 1 Grays/s/chip (BASELINE.json)
 
 
-def _time_loop(frame, k=8, reps=2):
+def _time_loop(frame, k=8, reps=4, samples=None):
     """Seconds/frame of `frame(i) -> scalar` via the fori-loop methodology
-    (min over reps; a 1-frame loop's time is subtracted as dispatch)."""
+    (min over reps; a 1-frame loop's time is subtracted as dispatch).
+
+    Tunnel jitter is strictly additive, so min is the estimator; pass a
+    list as `samples` to also receive every rep's seconds/frame so the
+    spread (tunnel variance) is visible in the output."""
 
     def loop(n):
         return jax.jit(
@@ -53,14 +57,17 @@ def _time_loop(frame, k=8, reps=2):
     assert v == v, "non-finite output"
     float(f1())
     best = float("inf")
-    for _ in range(reps):  # tunnel jitter is strictly additive
+    for _ in range(reps):
         t0 = time.perf_counter()
         float(fk())
         tk = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(f1())
         t1 = time.perf_counter() - t0
-        best = min(best, max((tk - t1) / (k - 1), 1e-9))
+        spf = max((tk - t1) / (k - 1), 1e-9)
+        if samples is not None:
+            samples.append(spf)
+        best = min(best, spf)
     return best
 
 
@@ -83,7 +90,7 @@ def _snug_capacity(scene, camera, config, method):
     raise AssertionError(f"could not find drop-free capacity: {aux}")
 
 
-def _mrays(scene, camera, config, method, cap):
+def _mrays(scene, camera, config, method, cap, samples=None):
     eye0 = jnp.asarray(camera.eye)
 
     def frame(i):
@@ -95,7 +102,7 @@ def _mrays(scene, camera, config, method, cap):
         out = render(scene, cam, config, method=method, pair_capacity=cap)
         return out["rgb"].mean()
 
-    dt = _time_loop(frame)
+    dt = _time_loop(frame, samples=samples)
     return camera.width * camera.height / dt / 1e6
 
 
@@ -177,9 +184,14 @@ def _run():
                          width=WIDTH, height=HEIGHT)
     # capacity sanity: nothing may be silently dropped at this size
     cap = _snug_capacity(scene, cam0, config, method)
-    mrays = _mrays(scene, cam0, config, method, cap)
+    hs = []
+    mrays = _mrays(scene, cam0, config, method, cap, samples=hs)
 
     extra = {}
+    if hs:  # headline spread: per-rep Mrays/s so tunnel variance is visible
+        rr = sorted(WIDTH * HEIGHT / s / 1e6 for s in hs)
+        extra["headline_mrays_reps"] = [round(v, 2) for v in rr]
+        extra["headline_mrays_median"] = round(rr[len(rr) // 2], 2)
     try:  # fisheye row (equisolid, blanked r>1 ring, tracer.cuh:153-161)
         fcam = Camera.create(eye=(0.0, 0.3, 2.8), lookat=(0.0, 0.0, 0.0),
                              width=768, height=768)

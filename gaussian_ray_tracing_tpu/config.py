@@ -203,6 +203,21 @@ class RenderConfig:
     # per-group cond/bookkeeping overhead. Kept for scenes with localized
     # inversions.
     sort_lane_groups: bool = False
+    # Evaluate the march's front-to-back prefix product as a VPU doubling
+    # scan (log2(c) roll/select/multiply steps, no transcendentals) instead
+    # of the exp(L @ log1p) bf16-split MXU contraction. Render-only: the
+    # training forward (save_tin) keeps the MXU form so the hand-written
+    # backward's recompute sees identical rounding. Default set by on-chip
+    # A/B (PERF.md round 5).
+    composite_scan: bool = False
+    # Chunk-level early-exit threshold for the fused march (render-only):
+    # a tile's remaining chunks are skipped once EVERY ray's transmittance
+    # is <= this. At min_transmittance (the default) this is exactly the
+    # reference's per-ray stop lifted to the tile (zero-error); raising it
+    # bounds each ray's dropped remainder by the threshold per channel
+    # (e.g. 0.01 -> worst-case ~40 dB floor per affected pixel, in
+    # practice far above). Training always uses min_transmittance.
+    chunk_skip_transmittance: float = 1e-3
     # Compute/composite dtype for the fast path ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Use the fused Pallas kernel for the per-tile march (False = pure-JAX path).

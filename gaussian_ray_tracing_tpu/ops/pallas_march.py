@@ -82,6 +82,22 @@ def _tri_dot(tri_bf: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _prefix_prod_excl(v: jnp.ndarray, cand_idx: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix product along the candidate (sublane) axis:
+    out[i] = v[0] * ... * v[i-1], 1 at i = 0. Hillis-Steele doubling —
+    log2(c) (roll, select, multiply) steps, no transcendentals and no MXU
+    operand conversion (vs the exp(L @ log1p) form: log1p + bf16 hi/lo
+    split + two matmuls + exp). Direct f32 products of factors in (0, 1]
+    are also strictly MORE accurate than the exp/log round-trip."""
+    c = v.shape[0]
+    y = jnp.where(cand_idx >= 1, _roll(v, 1), 1.0)
+    d = 1
+    while d < c:
+        y = y * jnp.where(cand_idx >= d + 1, _roll(y, d), 1.0)
+        d *= 2
+    return y
+
+
 def _running_max_excl(x: jnp.ndarray, cand_idx: jnp.ndarray) -> jnp.ndarray:
     """Exclusive running max along the candidate (sublane) axis: out[i] =
     max(x[0..i-1]), -inf at i = 0. log2(c) masked-roll steps (the circular
@@ -237,28 +253,50 @@ def _march_kernel(
 
     def _composite_with(t_carry, a_ord, colors_ord):
         """Front-to-back composite of (already correctly ordered) alphas:
-        exclusive prefix product on the bf16-split MXU (ops/composite.py
-        equivalence), early-termination freeze (shaders/tracer.cuh:341),
-        per-channel radiance. Returns (rgb_part (3, R), t_next (1, R))."""
-        logp = jnp.log1p(-a_ord)
-        s_excl = _tri_dot(tri, logp)  # (c, R)
-        p_excl = t_carry * jnp.exp(s_excl)
-        p_incl = p_excl * (1.0 - a_ord)
-        w = a_ord * p_excl * (p_excl > minT)
+        exclusive prefix product, early-termination freeze
+        (shaders/tracer.cuh:341), per-channel radiance. Returns
+        (rgb_part (3, R), t_next (1, R)).
 
-        # sequential early-termination semantics (ops/composite.py):
-        # the first candidate (in composite order) driving p below
-        # minT freezes the carry — that p is the MAX of the below set
-        below = p_incl <= minT
-        frozen = jnp.max(
-            jnp.where(below, p_incl, -jnp.inf), axis=0, keepdims=True
-        )
-        p_last = t_carry * jnp.exp(
-            jnp.sum(logp, axis=0, keepdims=True)
-        )  # full-chunk product: order-free
-        t_next = jnp.where(
-            jnp.any(below, axis=0, keepdims=True), frozen, p_last
-        )
+        Two prefix-product forms (config.composite_scan, A/B'd on chip):
+        the VPU doubling scan (_prefix_prod_excl, log2(c) roll/mul steps,
+        no transcendentals) or the original exp(L @ log1p) bf16-split MXU
+        contraction (ops/composite.py equivalence). The training forward
+        (save_tin) always keeps the MXU form: the hand-written backward
+        recomputes through tri_dot and must see its exact rounding."""
+        if config.composite_scan and not save_tin:
+            one_m = 1.0 - a_ord
+            p_excl = t_carry * _prefix_prod_excl(one_m, cand_idx)
+            p_incl = p_excl * one_m
+            w = a_ord * p_excl * (p_excl > minT)
+            below = p_incl <= minT
+            frozen = jnp.max(
+                jnp.where(below, p_incl, -jnp.inf), axis=0, keepdims=True
+            )
+            # full-chunk product = the last INCLUSIVE prefix (sublane slice)
+            p_last = p_incl[c - 1 : c, :]
+            t_next = jnp.where(
+                jnp.any(below, axis=0, keepdims=True), frozen, p_last
+            )
+        else:
+            logp = jnp.log1p(-a_ord)
+            s_excl = _tri_dot(tri, logp)  # (c, R)
+            p_excl = t_carry * jnp.exp(s_excl)
+            p_incl = p_excl * (1.0 - a_ord)
+            w = a_ord * p_excl * (p_excl > minT)
+
+            # sequential early-termination semantics (ops/composite.py):
+            # the first candidate (in composite order) driving p below
+            # minT freezes the carry — that p is the MAX of the below set
+            below = p_incl <= minT
+            frozen = jnp.max(
+                jnp.where(below, p_incl, -jnp.inf), axis=0, keepdims=True
+            )
+            p_last = t_carry * jnp.exp(
+                jnp.sum(logp, axis=0, keepdims=True)
+            )  # full-chunk product: order-free
+            t_next = jnp.where(
+                jnp.any(below, axis=0, keepdims=True), frozen, p_last
+            )
 
         # weighted radiance: VPU broadcast-multiply + sublane reduction per
         # channel ((c, 1) columns broadcast over lanes for free). An MXU
@@ -372,7 +410,22 @@ def _march_kernel(
             tin_dma.start()
             tin_dma.wait()
 
-        @pl.when(jnp.max(t_carry) > config.min_transmittance)
+        # chunk-level early exit: the whole chunk's compute is skipped once
+        # every ray's transmittance is at or below the skip threshold. At
+        # the default (== min_transmittance) this is exactly the reference's
+        # per-ray stop (tracer.cuh:341) lifted to the tile; raising it
+        # (config.chunk_skip_transmittance) trades a bounded error — each
+        # ray's remaining contribution is <= its current T <= threshold per
+        # channel — for skipping the tile's tail chunks sooner. Training
+        # (save_tin) always uses min_transmittance: the backward's skip
+        # decision replays the forward's from the saved carries.
+        t_skip = (
+            config.min_transmittance
+            if save_tin
+            else max(config.chunk_skip_transmittance, config.min_transmittance)
+        )
+
+        @pl.when(jnp.max(t_carry) > t_skip)
         def _():
             g = fbuf[slot]  # (c, F)
             if packed16:

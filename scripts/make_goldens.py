@@ -52,6 +52,17 @@ GOLDENS = {
                      fisheye=False, hm=2),
     "bench_540p": dict(n=100_000, seed=0, width=960, height=540,
                        fisheye=False, hm=1),
+    # CPU-runnable golden tier (VERDICT r4 item 6): every camera/hm config
+    # of the full-frame set at 256^2, small enough that the un-slow-marked
+    # parity tests (tests/test_golden_small.py) finish in seconds on a
+    # stock CPU host — so full-config parity is asserted on every pytest
+    # run, not only by the on-chip bench gate
+    "small_pinhole_256": dict(n=5_000, seed=3, width=256, height=256,
+                              fisheye=False, hm=1),
+    "small_fisheye_256": dict(n=5_000, seed=3, width=256, height=256,
+                              fisheye=True, hm=1),
+    "small_hm2_256": dict(n=5_000, seed=3, width=256, height=256,
+                          fisheye=False, hm=2),
 }
 
 

@@ -223,7 +223,17 @@ def test_gaussian_ring_matches_allgather_fold():
 
 def test_pallas_sharded_diff_grads_match_single():
     """Sharded fused-kernel training grads (hand-written backward per shard,
-    psum by shard_map transpose) are bit-identical to single device."""
+    psum by shard_map transpose) match single device to f32 regrouping
+    tolerance.
+
+    NOT bit-exact, by design: the single-device backward accumulates every
+    pair's gradient contribution in one scatter-add over the full stream,
+    while the sharded backward scatter-adds each shard's sub-stream and then
+    psums across shards — a different summation tree over the same f32
+    terms. Forcing one association order would serialize the cross-shard
+    reduction; the observed divergence is <= ~2e-7 abs on O(1e-2) grads
+    (last-ulp regrouping noise), which the tolerance below pins.
+    """
     from gaussian_ray_tracing_tpu.models.gaussian_model import GaussianModel
     from gaussian_ray_tracing_tpu.models.pallas_renderer import render_pallas_diff
     from gaussian_ray_tracing_tpu.parallel.sharded import render_pallas_sharded_diff
@@ -244,9 +254,12 @@ def test_pallas_sharded_diff_grads_match_single():
                             pair_capacity=100_000)["rgb"] - target) ** 2
     ))(model)
     for f in ("means", "log_scales", "raw_quats", "raw_opacities", "sh"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(gs, f)), np.asarray(getattr(g1, f))
-        )
+        a = np.asarray(getattr(gs, f))
+        b = np.asarray(getattr(g1, f))
+        # f32 regrouping tolerance: the measured divergence is last-ulp
+        # noise (<= ~2e-7 abs); atol=5e-7 pins it while still catching any
+        # real gradient bug (grads here are O(1e-2)).
+        np.testing.assert_allclose(a, b, rtol=3e-5, atol=5e-7)
 
 
 def test_pallas_slabs_ring_matches_gather_and_scales_binning():
