@@ -210,6 +210,18 @@ class RenderConfig:
     # backward's recompute sees identical rounding. Default set by on-chip
     # A/B (PERF.md round 5).
     composite_scan: bool = False
+    # Span-bounded window-sort repair (render-only, 0 = off): when the
+    # window sort fires, locate the contiguous index band [i0, i1] that
+    # actually contains every out-of-place element (i1 = last element below
+    # its exclusive running max — the fire test's own violation mask; i0 =
+    # first element above its reverse exclusive running min) and, when the
+    # band fits, sort only a sort_repair-wide sublane window around it
+    # instead of the full march_chunk-wide bitonic network. Exact: sorting
+    # any contiguous window containing the band reproduces the full sort's
+    # significant order. DEFAULT 64 by on-chip A/B (PERF.md round 5):
+    # ~-0.8 ms at the bench config (34% of fired chunks repair at w=64;
+    # wider bands fall back to the full network). Exact to sort-tie level.
+    sort_repair: int = 64
     # Chunk-level early-exit threshold for the fused march (render-only):
     # a tile's remaining chunks are skipped once EVERY ray's transmittance
     # is <= this. At min_transmittance (the default) this is exactly the
@@ -217,7 +229,12 @@ class RenderConfig:
     # bounds each ray's dropped remainder by the threshold per channel
     # (e.g. 0.01 -> worst-case ~40 dB floor per affected pixel, in
     # practice far above). Training always uses min_transmittance.
-    chunk_skip_transmittance: float = 1e-3
+    # DEFAULT 0.02 by on-chip A/B (PERF.md round 5): -2.3 ms/frame at the
+    # 720p/100k bench config with the 720p golden at 52.09 dB (52.14 at
+    # the exact 1e-3) — the error bound is extremely conservative because
+    # skipped tails are partial and rare. Cross-path equality tests pin
+    # this to min_transmittance (the XLA tiled scan cannot skip chunks).
+    chunk_skip_transmittance: float = 0.02
     # Compute/composite dtype for the fast path ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Use the fused Pallas kernel for the per-tile march (False = pure-JAX path).

@@ -442,6 +442,11 @@ def render_with_mesh_fast(
                 n_tiles=n_tiles, rays_per_tile=R, chunk=chunk,
                 interpret=interpret, origins_t=o_t, t_hi=seg_hi, t0=trans,
                 block_offsets=bstream.blk,
+                # per-ray-origin QUAD (tile-centered expansion) measured
+                # SLOWER here on chip despite ~40% fewer (c, R) ops —
+                # 88.6 vs 67.6 ms march1 (PERF.md round 5; the 12 extra
+                # loop-carried (1, R) monomial registers likely spill).
+                # quad=False stays the block-march configuration.
             )
         rgb_seg = rgb_t
         density_total = 1.0 - t_next

@@ -114,6 +114,21 @@ def _running_max_excl(x: jnp.ndarray, cand_idx: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def _running_min_excl_rev(x: jnp.ndarray, cand_idx: jnp.ndarray) -> jnp.ndarray:
+    """REVERSE exclusive running min along the candidate axis: out[i] =
+    min(x[i+1..c-1]), +inf at i = c-1. Mirror of _running_max_excl."""
+    c = x.shape[0]
+    pinf = jnp.float32(jnp.inf)
+    y = jnp.where(cand_idx <= c - 2, _roll(x, -1), pinf)
+    d = 1
+    while d < c:
+        y = jnp.minimum(
+            y, jnp.where(cand_idx <= c - 2 - d, _roll(y, -d), pinf)
+        )
+        d *= 2
+    return y
+
+
 def _bitonic_sort(key, payloads, c: int, ascending: bool = True):
     """Per-lane bitonic sort of (c, R) arrays along the candidate axis,
     carrying a tuple of payload arrays (any dtype — payloads are only
@@ -359,6 +374,34 @@ def _march_kernel(
         # 3). The VPU broadcast form is full f32 and costs ~16 ops.
         m2 = (dx * dx, dy * dy, dz * dz,
               2.0 * dx * dy, 2.0 * dx * dz, 2.0 * dy * dz)  # (1, R) each
+        if per_ray_origin:
+            # PER-RAY-ORIGIN quad response (bounced segments / rolling
+            # shutter): the shared-origin columns v = Q(eye - mu), cq, oo
+            # are eye-relative and unusable, but Q = M^T M itself is
+            # view-independent — expand around the TILE'S ORIGIN CENTROID
+            # o_bar so every f32 product stays small (expanding around the
+            # world origin would run |Q| |o|^2 ~ 1e5-1e6 terms through a
+            # cancellation to O(10) — the same class of blow-up that
+            # killed the bf16 MXU path, PERF.md round 3). With
+            # a = o - o_bar (per ray, (1, R)) and b = mu - o_bar (per
+            # candidate, (c, 1)):
+            #   od = (o - mu)^T Q d       = q . od6(a, d) - (Q b) . d
+            #   oo = (o - mu)^T Q (o - mu) = q . oo6(a) - 2 (Q b) . a
+            #                                + b^T Q b
+            # where Q b and b^T Q b are (c, 1) column math (cheap) and
+            # od6/oo6 are per-tile (1, R) monomials — the whole response
+            # stays (c, 1) x (1, R) broadcast products, ~40% fewer (c, R)
+            # ops than the canonical-frame transform path (the round-4
+            # stage attribution's named lever for the glass bounce).
+            orow_q = orig_ref[0]
+            oxr, oyr, ozr = orow_q[0:1, :], orow_q[1:2, :], orow_q[2:3, :]
+            obx, oby, obz = jnp.mean(oxr), jnp.mean(oyr), jnp.mean(ozr)
+            axr, ayr, azr = oxr - obx, oyr - oby, ozr - obz  # (1, R)
+            od6 = (axr * dx, ayr * dy, azr * dz,
+                   axr * dy + ayr * dx, axr * dz + azr * dx,
+                   ayr * dz + azr * dy)
+            oo6 = (axr * axr, ayr * ayr, azr * azr,
+                   2.0 * axr * ayr, 2.0 * axr * azr, 2.0 * ayr * azr)
 
     def get_dma(slot, j):
         if block_mode:
@@ -452,16 +495,36 @@ def _march_kernel(
 
             present = cand_idx < (n - j * c)  # (c, 1) tail mask
             if quad:
-                # quadratic-form response (shared origin), f32 VPU
-                # broadcasts: dd = d^T Q d = sum_k q_k * m2_k(d),
-                # od = (eye - mu)^T Q d = v . d; oo/cq per-candidate
+                # quadratic-form response, f32 VPU broadcasts:
+                # dd = d^T Q d = sum_k q_k * m2_k(d); shared origin reads
+                # the precomputed od = v . d and cq/oo columns, per-ray
+                # origins evaluate the tile-centered expansion (see the
+                # od6/oo6 comment above)
                 q = [col(iQ0 + k) for k in range(6)]  # (c, 1) each
                 dd = (q[0] * m2[0] + q[1] * m2[1] + q[2] * m2[2]
                       + q[3] * m2[3] + q[4] * m2[4] + q[5] * m2[5])  # (c, R)
-                od = (col(iV0) * dx + col(iV0 + 1) * dy
-                      + col(iV0 + 2) * dz)  # (c, R)
-                cq = col(iCQ)
-                oo_b = col(iOO)
+                if per_ray_origin:
+                    bx = col(_MX) - obx  # (c, 1) b = mu - o_bar
+                    by = col(_MY) - oby
+                    bz = col(_MZ) - obz
+                    vx = q[0] * bx + q[3] * by + q[4] * bz  # (c, 1) Q b
+                    vy = q[3] * bx + q[1] * by + q[5] * bz
+                    vz = q[4] * bx + q[5] * by + q[2] * bz
+                    mqm = vx * bx + vy * by + vz * bz  # (c, 1) b^T Q b
+                    od = (q[0] * od6[0] + q[1] * od6[1] + q[2] * od6[2]
+                          + q[3] * od6[3] + q[4] * od6[4] + q[5] * od6[5]
+                          - (vx * dx + vy * dy + vz * dz))  # (c, R)
+                    oo_b = (q[0] * oo6[0] + q[1] * oo6[1] + q[2] * oo6[2]
+                            + q[3] * oo6[3] + q[4] * oo6[4] + q[5] * oo6[5]
+                            - 2.0 * (vx * axr + vy * ayr + vz * azr)
+                            + mqm)  # (c, R)
+                    rad_q = col(_RAD)
+                    cq = oo_b - rad_q * rad_q
+                else:
+                    od = (col(iV0) * dx + col(iV0 + 1) * dy
+                          + col(iV0 + 2) * dz)  # (c, R)
+                    cq = col(iCQ)
+                    oo_b = col(iOO)
                 rcp6 = 1.0 / jnp.maximum(dd, 1e-6)
                 t_star = -od * rcp6
                 pp = oo_b + od * t_star  # oo - od^2/dd
@@ -696,7 +759,29 @@ def _march_kernel(
                 )
                 gw = R // n_groups
 
-                def _sorted_branch(a_, t_event_, colors_g, tc_g):
+                # span-bounded repair (config.sort_repair = w > 0,
+                # render-only): inversions in the depth-presorted stream
+                # come from individual displaced gaussians, so the
+                # out-of-place elements usually live in a NARROW contiguous
+                # index band [i0, i1] of the chunk. Sorting ANY contiguous
+                # window containing that band yields the correct
+                # significant order (elements before i0 are <= the
+                # suffix min that follows them; elements after i1 are >=
+                # the running max before them — both proved by the very
+                # tests that define i0/i1), and a (w, R) network costs
+                # ~(w log^2 w)/(c log^2 c) of the full one. i1 = last
+                # index below its exclusive running max (the fire test's
+                # own violation mask); i0 = first index above its REVERSE
+                # exclusive running min. The window start clamps to
+                # c - w so the sublane slice never wraps. Fall back to the
+                # full network when the band is wider than w.
+                repair_w = (
+                    config.sort_repair
+                    if (not save_tin and 0 < config.sort_repair < c)
+                    else 0
+                )
+
+                def _sorted_branch(a_, t_event_, rmax_g, colors_g, tc_g):
                     # pack (paid only when the network runs). Two variants:
                     #
                     # Training (save_tin): the key is UNIQUE per lane —
@@ -747,15 +832,63 @@ def _march_kernel(
                             zbase,
                         )
                         skey = jnp.broadcast_to(skey, (c, gw))
-                        skey_s, (cpack_s,) = _bitonic_sort(
-                            skey, (cpack,), c
-                        )
+
+                        def _full(sk, cp):
+                            ks, (cs,) = _bitonic_sort(sk, (cp,), c)
+                            return ks, cs
+
+                        rep = jnp.float32(0.0)
+                        if repair_w:
+                            w = repair_w
+                            idx2 = jax.lax.broadcasted_iota(
+                                jnp.int32, (c, gw), 0
+                            )
+                            viol = (a_ > 0.0) & (t_event_ < rmax_g)
+                            i1 = jnp.max(jnp.where(viol, idx2, -1))
+                            smin = _running_min_excl_rev(
+                                jnp.where(a_ > 0.0, t_event_, jnp.inf),
+                                cand_idx,
+                            )
+                            viol0 = (a_ > 0.0) & (t_event_ > smin)
+                            i0 = jnp.min(jnp.where(viol0, idx2, c))
+                            ws = jnp.minimum(i0, c - w)
+                            repair_ok = (i1 - i0) < w
+                            rep = jnp.where(repair_ok, 1.0, 0.0)
+
+                            def _repair(sk, cp):
+                                skr = _roll(sk, -ws)
+                                cpr = _roll(cp, -ws)
+                                k64, (c64,) = _bitonic_sort(
+                                    skr[:w], (cpr[:w],), w
+                                )
+                                k2 = jnp.concatenate(
+                                    [k64, skr[w:]], axis=0
+                                )
+                                c2 = jnp.concatenate(
+                                    [c64, cpr[w:]], axis=0
+                                )
+                                return _roll(k2, ws), _roll(c2, ws)
+
+                            skey_s, cpack_s = jax.lax.cond(
+                                repair_ok, _repair, _full, skey, cpack
+                            )
+                        else:
+                            skey_s, cpack_s = _full(skey, cpack)
                         a_s = jnp.where(
                             skey_s >= zbase,
                             0.0,
                             (skey_s & 32767).astype(f32) * (1.0 / 32767.0),
                         )
-                    return _composite_with(tc_g, a_s, _unpack_colors(cpack_s))
+                        rgb_p, t_n_ = _composite_with(
+                            tc_g, a_s, _unpack_colors(cpack_s)
+                        )
+                        return rgb_p, t_n_, jnp.broadcast_to(
+                            rep, (1, gw)
+                        )
+                    rgb_p, t_n_ = _composite_with(
+                        tc_g, a_s, _unpack_colors(cpack_s)
+                    )
+                    return rgb_p, t_n_, jnp.zeros((1, gw), f32)
 
                 for gi in range(n_groups):
                     gs = slice(gi * gw, (gi + 1) * gw)
@@ -775,16 +908,21 @@ def _march_kernel(
                     acc[4:5, gs] = acc[4:5, gs] + jnp.where(
                         has_inv, 1.0, 0.0
                     )
-                    rgb_g, t_n = jax.lax.cond(
+                    def _nofire(a_, t_, rm_, tc=tc_g, cg=colors_g):
+                        rgb_p, t_n_ = _composite_with(tc, a_, cg)
+                        return rgb_p, t_n_, jnp.zeros((1, gw), f32)
+
+                    rgb_g, t_n, rep_g = jax.lax.cond(
                         has_inv,
                         functools.partial(
                             _sorted_branch, colors_g=colors_g, tc_g=tc_g
                         ),
-                        lambda a_, t_, tc=tc_g, cg=colors_g: _composite_with(
-                            tc, a_, cg
-                        ),
-                        a_g, t_g,
+                        _nofire,
+                        a_g, t_g, rmax,
                     )
+                    # row 5: span-repair fire count (<= row 4's full-fire
+                    # count; the difference is full-network fires)
+                    acc[5:6, gs] = acc[5:6, gs] + rep_g
                     acc[3:4, gs] = jnp.where(tc_g > minT, t_n, tc_g)
                     acc[0:3, gs] = acc[0:3, gs] + rgb_g
             else:
@@ -908,8 +1046,10 @@ def pallas_march_stream(
             pl.BlockSpec((1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
         )
 
-    if quad and per_ray_origin:
-        raise ValueError("quad response columns assume a shared ray origin")
+    # quad + per_ray_origin is supported: only the view-independent Q
+    # columns are read (the eye-relative v/cq/oo columns are replaced by
+    # the in-kernel tile-centered expansion) — the feature table must
+    # still have been built with eye= so the Q block exists.
     if packed16 and (not quad or save_tin or block_mode):
         raise ValueError(
             "packed16 is the render-only quad fast path (no save_tin/blocks)"
@@ -988,7 +1128,11 @@ def pallas_march_stream(
         # where ANY group fired (the pre-split semantic); the mean over
         # lanes is the average per-group fire count (the split's actual
         # cost rate, <= the max when inversions localize to one group).
-        return rgb, out[:, 3, :], jnp.max(out[:, 4, :], axis=-1)
+        return rgb, out[:, 3, :], (
+            jnp.max(out[:, 4, :], axis=-1),  # chunks where a sort fired
+            jnp.max(out[:, 5, :], axis=-1),  # fired chunks repaired by the
+            #   span-bounded window network (config.sort_repair)
+        )
     return rgb, out[:, 3, :]
 
 

@@ -451,8 +451,51 @@ def fisheye_cone_caps(means, scales, quats, radius, camera):
     q0x = vx * e1[0] + vy * e1[1] + vz * e1[2]
     q0y = vx * e2[0] + vy * e2[1] + vz * e2[2]
     az1x, az1y, az2x, az2y, az_wrap = _cone_azimuth_interval(gf, q0x, q0y)
+
+    # --- ELLIPTICAL polar support (round-5; the circular delta_max bound
+    # over-covered the narrow principal axis by the full anisotropy
+    # ratio). The cone boundary is EXACTLY
+    #   d(psi) ~ axis + tan(d_a) cos(psi) v_a + tan(d_b) sin(psi) v_b
+    # (in G's eigenbasis the cone is -|l0| a^2 + l1 b^2 + l2 c^2 = 0), so
+    #   cos theta(psi) = (ca + x(psi)) / sqrt(1 + |tan|^2(psi)),
+    #   x(psi) = tan(d_a) cos(psi) (v_a.e3) + tan(d_b) sin(psi) (v_b.e3),
+    # and x ranges over +-A with A = sqrt((tan(d_a) v_a.e3)^2 +
+    # (tan(d_b) v_b.e3)^2) (exact support of the linear part); the
+    # denominator lies in [1, 1/cos(delta)]. project_footprints turns
+    # (ca, A, cos delta) into sound theta bounds. v_a is the lam1
+    # eigenvector (same cross-product extraction as the axis), v_b =
+    # axis x v_a (exact for symmetric G, and keeps {v_a, v_b}
+    # orthonormal even when lam1 ~ lam2, where independent extraction
+    # is ill-conditioned). A is clamped by the circular tan(delta),
+    # which is always sound.
+    ra0 = (g00 - lam1, g01, g02)
+    ra1 = (g01, g11 - lam1, g12)
+    ra2 = (g02, g12, g22 - lam1)
+    cands_a = [cross(ra0, ra1), cross(ra0, ra2), cross(ra1, ra2)]
+    na2 = [cx * cx + cy * cy + cz * cz for cx, cy, cz in cands_a]
+    best_a = jnp.argmax(jnp.stack(na2, axis=-1), axis=-1)
+    pick_a = lambda k: jnp.where(
+        best_a == 0, cands_a[0][k],
+        jnp.where(best_a == 1, cands_a[1][k], cands_a[2][k]),
+    )
+    vax, vay, vaz = pick_a(0), pick_a(1), pick_a(2)
+    van = jnp.sqrt(jnp.maximum(vax * vax + vay * vay + vaz * vaz, 1e-30))
+    vax, vay, vaz = vax / van, vay / van, vaz / van
+    # v_b = axis x v_a
+    vbx = vy * vaz - vz * vay
+    vby = vz * vax - vx * vaz
+    vbz = vx * vay - vy * vax
+    ta = jnp.sqrt(jnp.maximum(-lam0, 0.0) / jnp.maximum(lam1, 1e-30))
+    tb = jnp.sqrt(jnp.maximum(-lam0, 0.0) / jnp.maximum(lam2, 1e-30))
+    va_e3 = vax * e3[0] + vay * e3[1] + vaz * e3[2]
+    vb_e3 = vbx * e3[0] + vby * e3[1] + vbz * e3[2]
+    tan_delta = jnp.tan(jnp.minimum(delta, 0.5 * jnp.pi - 1e-3))
+    pol_sup = jnp.minimum(
+        jnp.sqrt((ta * va_e3) ** 2 + (tb * vb_e3) ** 2) + 2e-3,
+        tan_delta,
+    )
     return (vx, vy, vz, delta, inside,
-            az1x, az1y, az2x, az2y, az_wrap)
+            az1x, az1y, az2x, az2y, az_wrap, pol_sup)
 
 
 def project_footprints(
@@ -554,12 +597,13 @@ def project_footprints(
             # the cone's EXACT frame-basis azimuth interval — replaces
             # the bounding-sphere cap below for anisotropic gaussians
             (cax, cay, caz, delta_w, inside,
-             az1x, az1y, az2x, az2y, az_wrap) = cone_caps
+             az1x, az1y, az2x, az2y, az_wrap, pol_sup) = cone_caps
             ca = cax * (-u_hat[0]) + cay * (-u_hat[1]) + caz * (-u_hat[2])
             cb = cax * (-v_hat[0]) + cay * (-v_hat[1]) + caz * (-v_hat[2])
             cc_ax = cax * w_hat[0] + cay * w_hat[1] + caz * w_hat[2]
         else:
             az_wrap = None
+            pol_sup = None
             delta_w = jnp.arcsin(jnp.clip(bound_radius / rho_safe, 0.0, 1.0))
             inside = rho <= bound_radius
             ca, cb, cc_ax = a / rho_safe, b / rho_safe, c / rho_safe
@@ -572,24 +616,43 @@ def project_footprints(
         wrap = (delta_w >= t0w) | (sin_t0w <= sin_dw)
         t_lo_w = jnp.where(wrap, 0.0, jnp.maximum(t0w - delta_w, 0.0))
         t_hi_w = jnp.minimum(t0w + delta_w, jnp.pi)
-
-        # polar warp at both anisotropy extremes (sound for every azimuth)
-        su, sv, sw = 1.0 / ulen, 1.0 / vlen, 1.0 / wlen
-        k_lo = jnp.minimum(su, sv) / sw
-        k_hi = jnp.maximum(su, sv) / sw
-        warp = lambda t, k: jnp.arctan2(k * jnp.sin(t), jnp.cos(t))
-        theta_lo = jnp.minimum(warp(t_lo_w, k_lo), warp(t_lo_w, k_hi))
-        theta_lo = jnp.where(wrap, 0.0, jnp.maximum(theta_lo, 0.0))
-        # rays only exist for theta' <= pi/2 (r <= 1, tracer.cuh:155-159):
-        # clip to the hemisphere — a large cut for side gaussians
-        theta_hi = jnp.maximum(warp(t_hi_w, k_lo), warp(t_hi_w, k_hi))
-        theta_hi = jnp.clip(theta_hi, 0.0, 0.5 * jnp.pi + 0.02)
-        r_hi = 2.0 * f * jnp.sin(0.5 * theta_hi)
-        r_lo = 2.0 * f * jnp.sin(0.5 * theta_lo)
+        if pol_sup is not None:
+            # ELLIPTICAL polar extents (round-5; ROADMAP item 3): the
+            # circular bound above spends the cone's WIDEST half-angle in
+            # every azimuth. With the exact boundary parametrization (see
+            # fisheye_cone_caps), cos theta over the cone lies in
+            # [num_min, num_max] / denom with num = cc_ax +- pol_sup and
+            # denom in [1, 1/cos delta]:
+            #   lower bound: num_min * cos(delta) when num_min >= 0
+            #                (largest denominator), else num_min;
+            #   upper bound: num_max when num_max >= 0, else
+            #                num_max * cos(delta).
+            # Both are sound for every azimuth; intersect with the
+            # circular rectangle (also sound) and keep the circular wrap
+            # handling (pole-containing caps).
+            cos_dw_c = jnp.cos(jnp.minimum(delta_w, 0.5 * jnp.pi))
+            num_min = cc_ax - pol_sup
+            num_max = cc_ax + pol_sup
+            cos_min = jnp.clip(
+                jnp.where(num_min >= 0.0, num_min * cos_dw_c, num_min),
+                -1.0, 1.0,
+            )
+            cos_max = jnp.clip(
+                jnp.where(num_max >= 0.0, num_max, num_max * cos_dw_c),
+                -1.0, 1.0,
+            )
+            t_lo_w = jnp.where(
+                wrap, t_lo_w, jnp.maximum(t_lo_w, jnp.arccos(cos_max))
+            )
+            t_hi_w = jnp.where(
+                wrap, t_hi_w, jnp.minimum(t_hi_w, jnp.arccos(cos_min))
+            )
 
         # exact azimuth interval: world endpoints through the (monotone)
         # azimuth map p -> dir(su cos p, sv sin p), all angle-addition —
-        # no trig calls
+        # no trig calls. (Computed BEFORE the polar warp: the warp's
+        # anisotropy factor k(p) is restricted to this interval below.)
+        su, sv, sw = 1.0 / ulen, 1.0 / vlen, 1.0 / wlen
         if az_wrap is not None:
             # exact elliptical-cone azimuth endpoints (frame basis)
             c1w, s1w, c2w, s2w = az1x, az1y, az2x, az2y
@@ -613,6 +676,51 @@ def project_footprints(
             c2w = cphi0 * cos_dphi_w - sphi0 * sin_dphi_w  # cos(p0 + dphi)
             s2w = sphi0 * cos_dphi_w + cphi0 * sin_dphi_w
             awrap = wrap
+
+        # polar warp. k(p) = sqrt(su^2 cos^2 p + sv^2 sin^2 p)/sw is
+        # monotone in cos^2 p, so over the gaussian's AZIMUTH INTERVAL the
+        # factor ranges over [k(c2_ext), k(c2_min..max)] — far narrower
+        # than the global [min(su,sv), max(su,sv)]/sw whenever the
+        # interval avoids the frame axes (round-5; the global extremes
+        # over-warped every off-axis gaussian's polar rectangle).
+        # cos^2 p extremes over the interval: the endpoints', widened to
+        # 1 when the interval contains azimuth 0 or pi and to 0 when it
+        # contains +-pi/2 (midpoint/half-width membership test; wrap ->
+        # full range).
+        mxw = c1w + c2w
+        myw = s1w + s2w
+        mnw = jnp.sqrt(jnp.maximum(mxw * mxw + myw * myw, _EPS * _EPS))
+        degen_w = (mxw * mxw + myw * myw) < 1e-8
+        cphi_w = mxw / mnw
+        sphi_w = myw / mnw
+        coshw = jnp.clip(cphi_w * c1w + sphi_w * s1w, -1.0, 1.0)
+        full_k = awrap | degen_w
+        c2_1 = c1w * c1w
+        c2_2 = c2w * c2w
+        c2_min = jnp.minimum(c2_1, c2_2)
+        c2_max = jnp.maximum(c2_1, c2_2)
+        # contains p=0 or p=pi -> cos^2 reaches 1; contains +-pi/2 -> 0
+        c2_max = jnp.where(
+            full_k | (cphi_w >= coshw) | (-cphi_w >= coshw), 1.0, c2_max
+        )
+        c2_min = jnp.where(
+            full_k | (sphi_w >= coshw) | (-sphi_w >= coshw), 0.0, c2_min
+        )
+        k_of = lambda c2: jnp.sqrt(
+            sv * sv + (su * su - sv * sv) * c2
+        ) / sw
+        ka, kb = k_of(c2_min), k_of(c2_max)
+        k_lo = jnp.minimum(ka, kb)
+        k_hi = jnp.maximum(ka, kb)
+        warp_t = lambda t, k: jnp.arctan2(k * jnp.sin(t), jnp.cos(t))
+        theta_lo = jnp.minimum(warp_t(t_lo_w, k_lo), warp_t(t_lo_w, k_hi))
+        theta_lo = jnp.where(wrap, 0.0, jnp.maximum(theta_lo, 0.0))
+        # rays only exist for theta' <= pi/2 (r <= 1, tracer.cuh:155-159):
+        # clip to the hemisphere — a large cut for side gaussians
+        theta_hi = jnp.maximum(warp_t(t_hi_w, k_lo), warp_t(t_hi_w, k_hi))
+        theta_hi = jnp.clip(theta_hi, 0.0, 0.5 * jnp.pi + 0.02)
+        r_hi = 2.0 * f * jnp.sin(0.5 * theta_hi)
+        r_lo = 2.0 * f * jnp.sin(0.5 * theta_lo)
 
         def _img_az(cw, sw_):
             x, y = su * cw, sv * sw_

@@ -125,14 +125,16 @@ def main():
     tx_n, ty_n = num_tiles(_cam(0), config)
     _, dirs, _ = generate_rays(_cam(0), config)
     dirs_t = tile_rays(dirs, config.tile_w, config.tile_h)
-    _, _, fires = pallas_march_stream(
+    _, _, (fires, repairs) = pallas_march_stream(
         stream.starts, jnp.asarray(_cam(0).eye, jnp.float32), pair_feats,
         dirs_t, config, n_tiles=tx_n * ty_n, rays_per_tile=256, chunk=128,
         stats=True)
     counts = jnp.diff(stream.starts)
     n_chunks = jnp.sum(-(-counts // 128))
     print(f"sort-fire: {int(jnp.sum(fires))} of {int(n_chunks)} chunks "
-          f"({100 * float(jnp.sum(fires)) / max(1, int(n_chunks)):.1f}%)",
+          f"({100 * float(jnp.sum(fires)) / max(1, int(n_chunks)):.1f}%); "
+          f"span-repaired {int(jnp.sum(repairs))} "
+          f"(sort_repair={config.sort_repair})",
           flush=True)
 
 

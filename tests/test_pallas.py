@@ -23,8 +23,12 @@ from gaussian_ray_tracing_tpu.utils.image import psnr
 
 CAM = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0), width=96, height=64)
 CAP = 200_000
-# max_per_tile large enough that the tiled path drops nothing on these scenes
-CFG = RenderConfig(hit_multiplicity=1, order="key", max_per_tile=4096)
+# max_per_tile large enough that the tiled path drops nothing on these scenes.
+# chunk_skip_transmittance pins to min_transmittance: these tests compare the
+# kernel against the XLA tiled path / oracle to float tolerance, and the
+# production default (0.02) skips tail chunks the tiled scan cannot skip.
+CFG = RenderConfig(hit_multiplicity=1, order="key", max_per_tile=4096,
+                   chunk_skip_transmittance=1e-3)
 
 
 class TestPallasParity:
@@ -174,6 +178,7 @@ class TestMeshFast:
         cfg = RenderConfig(
             hit_multiplicity=1, order="window", march_chunk=256,
             mesh_type=MeshType[mesh_type], max_per_tile=4096,
+            chunk_skip_transmittance=1e-3,  # oracle comparison: exact stop
         )
         a = render_with_mesh_oracle(scene, mesh, cam, cfg, loop_bound=2)
         b = render_with_mesh_fast(scene, mesh, cam, cfg, loop_bound=2)
@@ -507,7 +512,8 @@ class TestPlanarMirrorFastPath:
 
         cfg = RenderConfig(hit_multiplicity=1, order="window",
                            march_chunk=64, mesh_type=MeshType.MIRROR,
-                           use_pallas=True)
+                           use_pallas=True,
+                           chunk_skip_transmittance=1e-3)  # XLA-path compare
         scene = random_scene(1200, seed=3)
         mesh = make_plane(position=(0.0, -0.1, 0.8), width=1.2, height=1.0)
         assert planar_mirror_plane(mesh, cfg) is not None

@@ -28,7 +28,8 @@ CAP = 65_536
 def test_key_order_matches_tiled():
     """key order + quad response vs the tiled path on a small scene."""
     scene = random_scene(800, seed=5)
-    cfg = RenderConfig(hit_multiplicity=1, order="key", max_per_tile=2048)
+    cfg = RenderConfig(hit_multiplicity=1, order="key", max_per_tile=2048,
+                       chunk_skip_transmittance=1e-3)  # tiled compare
     a = render_tiled(scene, CAM, cfg, pair_capacity=CAP)
     b = render_pallas(scene, CAM, cfg, pair_capacity=CAP, return_aux=True,
                       interpret=True)
@@ -41,6 +42,7 @@ def test_window_order_vs_tiled_window():
     network path; parity vs the tiled window march."""
     scene = random_scene(800, seed=5)
     cfg = RenderConfig(hit_multiplicity=1, order="window", march_chunk=64,
+                       chunk_skip_transmittance=1e-3,
                        max_per_tile=2048)
     a = render_tiled(scene, CAM, cfg, pair_capacity=CAP)
     b = render_pallas(scene, CAM, cfg, pair_capacity=CAP, interpret=True)
