@@ -267,10 +267,15 @@ def cmd_fit(args):
             from gaussian_ray_tracing_tpu.train.density import DensityConfig
 
             density = DensityConfig(
-                densify_from_step=max(args.steps // 20, 10),
-                densify_until_step=args.steps // 2,
-                densify_every=max(args.steps // 30, 10),
-                opacity_reset_every=0,
+                densify_from_step=(args.densify_from if args.densify_from
+                                   is not None else max(args.steps // 20, 10)),
+                densify_until_step=(args.densify_until if args.densify_until
+                                    is not None else args.steps // 2),
+                densify_every=(args.densify_every if args.densify_every
+                               is not None else max(args.steps // 30, 10)),
+                opacity_reset_every=(args.opacity_reset_every
+                                     if args.opacity_reset_every is not None
+                                     else 0),
                 grad_threshold=args.densify_grad_threshold,
             )
         loss_fn = None
@@ -328,10 +333,15 @@ def cmd_fit(args):
         from gaussian_ray_tracing_tpu.train.density import DensityConfig
 
         density = DensityConfig(
-            densify_from_step=max(args.steps // 20, 10),
-            densify_until_step=args.steps // 2,
-            densify_every=max(args.steps // 30, 10),
-            opacity_reset_every=0,
+            densify_from_step=(args.densify_from if args.densify_from
+                               is not None else max(args.steps // 20, 10)),
+            densify_until_step=(args.densify_until if args.densify_until
+                                is not None else args.steps // 2),
+            densify_every=(args.densify_every if args.densify_every
+                           is not None else max(args.steps // 30, 10)),
+            opacity_reset_every=(args.opacity_reset_every
+                                 if args.opacity_reset_every is not None
+                                 else 0),
             grad_threshold=args.densify_grad_threshold,
         )
     if args.loss == "dssim_l1":
@@ -601,6 +611,19 @@ def main(argv=None):
                    help="3DGS adaptive density control (clone/split/prune)")
     p.add_argument("--capacity", type=int, default=None,
                    help="static slot capacity for densification headroom")
+    p.add_argument("--densify-from", type=int, default=None,
+                   help="densify window start step (default steps//20)")
+    p.add_argument("--densify-until", type=int, default=None,
+                   help="densify window end step (default steps//2; the "
+                        "3DGS reference uses 15000 on 30k-step runs)")
+    p.add_argument("--densify-every", type=int, default=None,
+                   help="steps between densify rounds (default steps//30; "
+                        "3DGS uses 100)")
+    p.add_argument("--opacity-reset-every", type=int, default=None,
+                   help="steps between opacity resets inside the densify "
+                        "window (default 0 = never; 3DGS uses 3000 — "
+                        "resets stop floaters from locking in on long "
+                        "schedules)")
     p.add_argument("--densify-grad-threshold", type=float, default=2e-4,
                    help="NDC-units mean-grad threshold for clone/split "
                         "(the 3DGS default)")

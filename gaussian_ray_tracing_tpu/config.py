@@ -190,6 +190,13 @@ class RenderConfig:
     # tile's FARTHEST, which early termination under the carried
     # transmittance rarely reaches.
     bounce_block_budget: int = 16
+    # Morton blocks streamed per march chunk in the bounced block march
+    # (kernel chunk = this * march block size): the block march is
+    # chunk-COUNT-bound (per-chunk fixed costs dominate its ~2048
+    # candidate evals/ray), so packing 2 blocks per chunk halves that
+    # overhead at unchanged candidate work. Default set by on-chip A/B
+    # (PERF.md round 5).
+    bounce_blocks_per_chunk: int = 1
     # Split the window sort's fire test + network into independent 128-lane
     # groups (render-only; R must be a multiple of 128). The idea: a (c, R)
     # sort network costs R/128x the (c, 128) one, so an inversion confined

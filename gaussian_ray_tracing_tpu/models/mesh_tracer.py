@@ -394,7 +394,16 @@ def render_with_mesh_fast(
             (~done)
             & (jnp.sum(d_t * d_t, axis=-1) > 0.01)
             & (bounces < config.max_bounces)
-            & (trans > config.min_transmittance)
+            # bounce liveness at the chunk-skip threshold (round-5): rays
+            # whose carried transmittance is at or below it can add at most
+            # that much per channel (the march kernel would skip their
+            # chunks anyway) — retiring them here also shrinks the ray
+            # BUNDLES, so the block cull's cones tighten and later bounces
+            # stream fewer morton blocks. Same bounded-error semantics as
+            # chunk_skip_transmittance; equality tests pin both to
+            # min_transmittance.
+            & (trans > max(config.min_transmittance,
+                           config.chunk_skip_transmittance))
         )
         d_live = jnp.where(live[..., None], d_t, 0.0)
         fbundles = bundle_rays(o_t, d_live)
@@ -435,13 +444,14 @@ def render_with_mesh_fast(
                 max_per_tile=max(1, block_capacity // (n_tiles * chunk)),
             )
             drops = drops + bstream.n_dropped
+            bsub = max(1, config.bounce_blocks_per_chunk)
             rgb_t, t_next = pallas_march_stream(
                 bstream.starts, camera.eye.astype(jnp.float32), sorted_table,
                 d_live,
                 config.replace(order=config.bounce_order),
-                n_tiles=n_tiles, rays_per_tile=R, chunk=chunk,
+                n_tiles=n_tiles, rays_per_tile=R, chunk=chunk * bsub,
                 interpret=interpret, origins_t=o_t, t_hi=seg_hi, t0=trans,
-                block_offsets=bstream.blk,
+                block_offsets=bstream.blk, block_sub=bsub,
                 # per-ray-origin QUAD (tile-centered expansion) measured
                 # SLOWER here on chip despite ~40% fewer (c, R) ops —
                 # 88.6 vs 67.6 ms march1 (PERF.md round 5; the 12 extra

@@ -213,6 +213,7 @@ def _march_kernel(
     quad: bool,
     packed16: bool = False,
     full_range: bool = False,
+    block_sub: int = 1,
 ):
     rest = list(rest)
     orig_ref = rest.pop(0) if per_ray_origin else None
@@ -403,7 +404,22 @@ def _march_kernel(
             oo6 = (axr * axr, ayr * ayr, azr * azr,
                    2.0 * axr * ayr, 2.0 * axr * azr, 2.0 * ayr * azr)
 
-    def get_dma(slot, j):
+    def get_dmas(slot, j):
+        """The chunk's async feature copies (a list: block mode may stream
+        block_sub morton blocks into one chunk buffer — halving the chunk
+        count halves the march's per-chunk fixed costs, which dominate the
+        candidate-bound bounce march)."""
+        if block_mode and block_sub > 1:
+            bs = c // block_sub
+            copies = []
+            for s in range(block_sub):
+                ofs = blocks_ref[start // bs + j * block_sub + s] * bs
+                copies.append(pltpu.make_async_copy(
+                    feats_hbm.at[pl.ds(ofs, bs), :],
+                    fbuf.at[slot, pl.ds(s * bs, bs), :],
+                    sems.at[slot],
+                ))
+            return copies
         if block_mode:
             # chunk == block: the feature rows of chunk j live at the morton
             # block's own contiguous range (ops/blocks.py) — no per-pair
@@ -419,24 +435,27 @@ def _march_kernel(
             rows = c + 16
         else:
             rows = c
-        return pltpu.make_async_copy(
+        return [pltpu.make_async_copy(
             feats_hbm.at[pl.ds(ofs, rows), :],
             fbuf.at[slot],
             sems.at[slot],
-        )
+        )]
 
     @pl.when(n_chunks > 0)
     def _():
-        get_dma(0, 0).start()
+        for cp in get_dmas(0, 0):
+            cp.start()
 
     def body(j, _):
         slot = j % 2
 
         @pl.when(j + 1 < n_chunks)
         def _():
-            get_dma((j + 1) % 2, j + 1).start()
+            for cp in get_dmas((j + 1) % 2, j + 1):
+                cp.start()
 
-        get_dma(slot, j).wait()
+        for cp in get_dmas(slot, j):
+            cp.wait()
         t_carry = acc[3:4, :]  # (1, R)
 
         if save_tin:
@@ -951,7 +970,7 @@ def _march_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "n_tiles", "rays_per_tile", "chunk", "interpret", "save_tin", "quad", "stats", "packed16"),
+    static_argnames=("config", "n_tiles", "rays_per_tile", "chunk", "interpret", "save_tin", "quad", "stats", "packed16", "block_sub"),
 )
 def pallas_march_stream(
     starts: jnp.ndarray,  # (T+1,) int32
@@ -982,6 +1001,10 @@ def pallas_march_stream(
     packed16: bool = False,  # pair_feats is the int16 bit-split quad table
     #   (models/tiled.feature_table_packed16): half the gather/DMA bytes,
     #   exact f32 reassembly in-kernel; requires quad, render-only
+    block_sub: int = 1,  # block mode only: morton blocks streamed per chunk
+    #   (chunk = block_sub * block_size). Halving the chunk count halves
+    #   the march's per-chunk fixed costs on the chunk-count-bound bounce
+    #   path; the window/merge sort width grows with the chunk accordingly
 ):
     """March every tile over its pair-stream segment.
 
@@ -1020,8 +1043,18 @@ def pallas_march_stream(
 
     per_ray_origin = origins_t is not None
     block_mode = block_offsets is not None
+    if block_sub > 1 and (not block_mode or chunk % block_sub or save_tin
+                          or packed16):
+        raise ValueError("block_sub > 1 is the render-only block-mode "
+                         "multi-block chunk path (chunk % block_sub == 0)")
     blocks_arg = (
-        block_offsets if block_mode else jnp.zeros((1,), jnp.int32)
+        # padded by block_sub so a tail chunk's extra block lookups stay
+        # in bounds (their candidates are masked by the `present` tail
+        # mask; the dummy block-0 DMA is harmless)
+        jnp.concatenate(
+            [block_offsets, jnp.zeros((block_sub,), block_offsets.dtype)]
+        )
+        if block_mode else jnp.zeros((1,), jnp.int32)
     )
     if save_tin:
         counts = jnp.diff(starts)
@@ -1073,6 +1106,7 @@ def pallas_march_stream(
         # the kernel may use the sqrt/div-free hit test
         full_range=(t_lo is None and t_hi is None and not block_mode
                     and not per_ray_origin),
+        block_sub=block_sub,
     )
     out_specs = pl.BlockSpec(
         (1, 8, R), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM

@@ -134,7 +134,12 @@ class TestRenderEquality:
         NOT bit-stable under the cull: dropping dead candidates shifts
         chunk boundaries and with them the bounded-window approximation —
         quality under the cull is pinned vs the oracle below.)"""
-        config = RenderConfig(hit_multiplicity=1, order="key", conic_cull=True)
+        # chunk_skip pinned exact: the cull shifts chunk boundaries, and at
+        # the production skip threshold (0.02 > min_transmittance) shifted
+        # boundaries change which tail chunks skip — a bounded-but-nonzero
+        # difference this bit-level test is not about
+        config = RenderConfig(hit_multiplicity=1, order="key", conic_cull=True,
+                              chunk_skip_transmittance=1e-3)
         scene = random_scene(2500, seed=7)
         cam = Camera.create(width=96, height=64, **CAM)
         on = np.asarray(
