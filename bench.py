@@ -217,6 +217,14 @@ def _run():
             extra["trained_720p_mrays"] = round(
                 _mrays(tscene, cam0, config, method, tcap), 2
             )
+            # full view-dependent color: SH degree 3 (the reference ships
+            # degree 0-3 eval, shaders/tracer.cuh:216-258; the PLY carries
+            # all 16 coefficients) — "full SH" as a measured config
+            s3cfg = config.replace(sh_degree=3)
+            s3cap = _snug_capacity(tscene, cam0, s3cfg, method)
+            extra["trained_720p_sh3_mrays"] = round(
+                _mrays(tscene, cam0, s3cfg, method, s3cap), 2
+            )
     except Exception as e:
         extra["trained_720p_mrays"] = f"failed: {type(e).__name__}"
     try:  # reference-default config row: hit_multiplicity=2 at 720p

@@ -919,6 +919,9 @@ def _march_kernel(
                         for ci in colors
                     ]
                     tc_g = acc[3:4, gs]  # fresh VMEM load (see above)
+                    # (A bf16 fire test — half the vregs in this doubling
+                    # scan — is NOT implementable: Mosaic's tpu.dynamic_rotate
+                    # rejects non-32-bit data, and the scan is rolls.)
                     sig_t = jnp.where(a_g > 0.0, t_g, -jnp.inf)
                     rmax = _running_max_excl(sig_t, cand_idx)
                     has_inv = jnp.any((a_g > 0.0) & (t_g < rmax))
