@@ -229,6 +229,14 @@ class RenderConfig:
     # ~-0.8 ms at the bench config (34% of fired chunks repair at w=64;
     # wider bands fall back to the full network). Exact to sort-tie level.
     sort_repair: int = 64
+    # Weight-aware window-sort firing (render-only, 0 = exact): the fire
+    # test ignores inversions confined to candidates with alpha at or
+    # below this. Swapping candidates i < j changes the image by at most
+    # a_i * a_j * T per channel, so chunks whose only inversions involve
+    # near-transparent tails composite in stream order instead of paying
+    # the bitonic network; fired chunks still sort everything. Default
+    # set by on-chip A/B against the 720p golden (PERF.md round 5).
+    sort_alpha_min: float = 0.0
     # Chunk-level early-exit threshold for the fused march (render-only):
     # a tile's remaining chunks are skipped once EVERY ray's transmittance
     # is <= this. At min_transmittance (the default) this is exactly the

@@ -922,9 +922,22 @@ def _march_kernel(
                     # (A bf16 fire test — half the vregs in this doubling
                     # scan — is NOT implementable: Mosaic's tpu.dynamic_rotate
                     # rejects non-32-bit data, and the scan is rolls.)
-                    sig_t = jnp.where(a_g > 0.0, t_g, -jnp.inf)
+                    # Weight-aware firing (config.sort_alpha_min > 0,
+                    # render-only): inversions confined to near-transparent
+                    # candidates are ignored — swapping candidates i < j
+                    # changes the image by at most a_i * a_j * T per
+                    # channel, so a chunk whose only inversions involve
+                    # alpha <= sort_alpha_min composites in stream order
+                    # with bounded error instead of paying the network.
+                    # When the sort DOES fire it still orders everything.
+                    a_fire = (
+                        config.sort_alpha_min
+                        if (config.sort_alpha_min > 0.0 and not save_tin)
+                        else 0.0
+                    )
+                    sig_t = jnp.where(a_g > a_fire, t_g, -jnp.inf)
                     rmax = _running_max_excl(sig_t, cand_idx)
-                    has_inv = jnp.any((a_g > 0.0) & (t_g < rmax))
+                    has_inv = jnp.any((a_g > a_fire) & (t_g < rmax))
                     # sort-fire telemetry in the spare acc row (per lane
                     # group; surfaced by pallas_march_stream(stats=True))
                     acc[4:5, gs] = acc[4:5, gs] + jnp.where(
