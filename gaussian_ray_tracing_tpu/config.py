@@ -148,6 +148,18 @@ class RenderConfig:
     # at ~+4 ms/frame vs ~-2 ms of march savings from the 21.6% pair drop
     # — a net 3 Mrays/s regression at the 720p/100k bench config.
     conic_cull: bool = False
+    # Fisheye annular-sector cull in the pair expansion: the fisheye
+    # footprint rect is the bbox of an annular sector (radius in
+    # [r_lo, r_hi], azimuth in a wedge) in NDC around the optical center,
+    # and the bbox over-covers it badly — a count-weighted brute-force
+    # sample at the 768^2/100k bench config measured 68% of emitted pairs
+    # DEAD (no pixel in the tile has a live ray). Each expanded pair is
+    # tested against its gaussian's sector (conservative radial + wedge
+    # support tests with a pad covering the rect's own margins); dead
+    # pairs drop before the tile sort, so the march and its ordering
+    # shrink ~3x while prep slots stay (same economics as conic_cull, but
+    # at 3x the kill rate). Default set by on-chip A/B (PERF.md round 5).
+    fisheye_cull: bool = False
     # 3-zone row-span expansion (pinhole): each gaussian's TOP and BOTTOM
     # tile rows emit only the exact conic x-span for that row's NDC slab
     # (single-row gaussians get their exact span), middle rows keep the

@@ -82,6 +82,94 @@ class TestConicBBox:
         assert int(out[True]["aux"]["n_pairs"]) < int(out[False]["aux"]["n_pairs"])
 
 
+class TestFisheyeSectorCull:
+    def test_cull_is_render_exact_and_tighter(self):
+        """config.fisheye_cull drops only pairs the march would gate to
+        zero anyway: the key-order image is unchanged to float-regroup
+        ulps, and a brute-force check confirms every culled (tile,
+        gaussian) pair has no pixel whose ray hits the iso-ellipsoid."""
+        from gaussian_ray_tracing_tpu.config import CameraModel
+        from gaussian_ray_tracing_tpu.models.renderer import render
+
+        cfg = RenderConfig(hit_multiplicity=1, order="key",
+                           max_per_tile=4096,
+                           camera_model=CameraModel.FISHEYE,
+                           chunk_skip_transmittance=1e-3)
+        scene = random_scene(3000, seed=7)
+        cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                            width=128, height=128)
+        a = render(scene, cam, cfg, method="tiled", pair_capacity=400_000)
+        b = render(scene, cam, cfg.replace(fisheye_cull=True),
+                   method="tiled", pair_capacity=400_000)
+        np.testing.assert_allclose(
+            np.asarray(b["rgb"]), np.asarray(a["rgb"]), atol=5e-4
+        )
+
+    def test_culled_tiles_have_no_live_pixels(self):
+        """Brute force on a small scene: per (gaussian, tile) pair the
+        sector cull REJECTS, no pixel center in the tile has a ray that
+        hits the adaptive iso-ellipsoid."""
+        import jax
+        from gaussian_ray_tracing_tpu.config import CameraModel
+        from gaussian_ray_tracing_tpu.ops.tiles import (
+            _tile_rects,
+            bin_pairs,
+            num_tiles,
+        )
+
+        cfg = RenderConfig(hit_multiplicity=1,
+                           camera_model=CameraModel.FISHEYE)
+        scene = random_scene(300, seed=11)
+        cam = Camera.create(eye=(0.0, 0.2, 2.6), lookat=(0.0, 0.0, 0.0),
+                            width=128, height=128)
+        _, M, radius = feature_table(scene, cfg)
+        bound = radius * jnp.max(scene.scales, axis=-1)
+        fp = project_footprints_conic(
+            scene.means, scene.scales, scene.quats, radius, bound, cam, cfg
+        )
+        cap = 100_000
+        off = bin_pairs(fp, cam, cfg, cap)
+        on = bin_pairs(fp, cam, cfg.replace(fisheye_cull=True), cap)
+        # pair sets per tile: the cull must only REMOVE pairs
+        tx_n, ty_n = num_tiles(cam, cfg)
+        off_gid = np.asarray(off.gid)
+        on_gid = np.asarray(on.gid)
+        off_starts = np.asarray(off.starts)
+        on_starts = np.asarray(on.starts)
+        _, dirs, _ = generate_rays(cam, cfg)
+        d = np.asarray(dirs.reshape(-1, 3))
+        nn = np.linalg.norm(d, axis=-1, keepdims=True)
+        dn = np.where(nn > 0, d / np.maximum(nn, 1e-12), 0.0)
+        order = np.asarray(off.order)
+        n_culled = 0
+        for t in range(tx_n * ty_n):
+            s_off = set(off_gid[off_starts[t]:off_starts[t + 1]].tolist())
+            s_on = set(on_gid[on_starts[t]:on_starts[t + 1]].tolist())
+            assert s_on <= s_off, f"cull ADDED pairs in tile {t}"
+            culled = s_off - s_on
+            if not culled:
+                continue
+            ty, tx = divmod(t, tx_n)
+            ys = slice(ty * cfg.tile_h, (ty + 1) * cfg.tile_h)
+            xs = slice(tx * cfg.tile_w, (tx + 1) * cfg.tile_w)
+            for rank in culled:
+                g = int(order[rank])
+                hit, t_in, t_out = ray_ellipsoid_span(
+                    jnp.broadcast_to(scene.means[g], (d.shape[0], 3)),
+                    jnp.broadcast_to(M[g], (d.shape[0], 3, 3)),
+                    jnp.broadcast_to(radius[g], (d.shape[0],)),
+                    cam.eye, jnp.asarray(dn),
+                )
+                live = np.asarray(
+                    hit & (t_out > 0) & (nn[:, 0] > 0.1)
+                ).reshape(128, 128)[ys, xs]
+                n_culled += 1
+                assert not live.any(), (
+                    f"culled pair (tile {t}, gaussian {g}) has live pixels"
+                )
+        assert n_culled > 0, "cull removed nothing on this scene"
+
+
 class TestFisheyeConeCaps:
     def test_containment(self):
         """Fisheye: every pixel whose ray hits a gaussian's iso-ellipsoid
