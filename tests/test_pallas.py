@@ -183,6 +183,27 @@ class TestMeshFast:
         a = render_with_mesh_oracle(scene, mesh, cam, cfg, loop_bound=2)
         b = render_with_mesh_fast(scene, mesh, cam, cfg, loop_bound=2)
         assert float(psnr(a["rgb"], b["rgb"])) > 40.0
+        if mesh_type == "GLASS":
+            # multi-block chunks (block_sub=2): at matched BLOCK size the
+            # wider kernel chunk only widens the bounce ordering window,
+            # so quality vs the oracle must not regress against the
+            # single-block march of the same 128-gaussian blocks. (The
+            # absolute bar at block 128 is slightly below the chunk-256
+            # config's — smaller blocks coarsen the near-to-far block
+            # order — which is why the parity config above uses 256.)
+            c1 = render_with_mesh_fast(
+                scene, mesh, cam,
+                cfg.replace(bounce_blocks_per_chunk=1, march_chunk=128),
+                loop_bound=2,
+            )
+            c2 = render_with_mesh_fast(
+                scene, mesh, cam,
+                cfg.replace(bounce_blocks_per_chunk=2, march_chunk=128),
+                loop_bound=2,
+            )
+            p1 = float(psnr(a["rgb"], c1["rgb"]))
+            p2 = float(psnr(a["rgb"], c2["rgb"]))
+            assert p2 > p1 - 0.5, (p1, p2)
 
 
 class TestBlocks:
