@@ -373,7 +373,13 @@ class Trainer:
             return best
 
         losses: list[float] = []
-        cur = 0
+        # resume-aware: `steps` is the TOTAL schedule length. A restored
+        # checkpoint (cli fit --checkpoint-dir) carries state.step; without
+        # this, a resumed run would retrain `steps` ADDITIONAL steps and
+        # re-fire the whole density schedule on the already-trained scene
+        # (found round 5 when a crash-resume started re-densifying a
+        # finished 30k run).
+        cur = min(int(self.state.step), steps)
         # segment-length cap: one jitted fori_loop per span, but never so
         # long that a single device program runs for minutes — the
         # tunneled TPU worker drops multi-minute programs (both round-4
@@ -402,7 +408,8 @@ class Trainer:
 
     def _fit_unbatched(self, views, steps):
         losses = []
-        for i in range(steps):
+        # resume-aware, like the batched path: `steps` is the total
+        for i in range(min(int(self.state.step), steps), steps):
             cam, target = views[i % len(views)]
             self.state, metrics = self.step_fn(self.state, cam, target)
             if self.density is not None:
