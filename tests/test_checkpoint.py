@@ -57,3 +57,30 @@ def test_ply_scene_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(scene.means)[:200], np.asarray(model.means)[:200], atol=1e-6
     )
+
+
+def test_fit_is_resume_aware():
+    """`steps` is the TOTAL schedule length: a trainer restored at step k
+    runs exactly steps - k more (and zero when k == steps) — previously a
+    resume retrained the full schedule and re-fired densification on the
+    finished scene (round-5 live incident)."""
+    model = GaussianModel.from_scene(random_scene(200, seed=4))
+    tr = Trainer(model, config=CFG)
+    cam = Camera.create(eye=(0, 0, 2.5), lookat=(0, 0, 0), width=32, height=32)
+    target = render_tiled(random_scene(200, seed=5), cam, CFG)["rgb"]
+    tr.fit([(cam, target)], steps=4)
+    d = tempfile.mkdtemp()
+    tr.save_checkpoint(d)
+
+    tr2 = Trainer(GaussianModel.from_scene(random_scene(200, seed=4)),
+                  config=CFG)
+    tr2.restore_checkpoint(d)
+    assert int(tr2.state.step) == 4
+    # completed schedule: no further steps run
+    losses = tr2.fit([(cam, target)], steps=4)
+    assert losses == []
+    assert int(tr2.state.step) == 4
+    # extended schedule: exactly the remainder runs
+    losses = tr2.fit([(cam, target)], steps=6)
+    assert len(losses) == 2
+    assert int(tr2.state.step) == 6
