@@ -63,12 +63,22 @@ def main():
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
+    # bounce-regression bisect knobs (PERF.md 22e): toggle the round-5
+    # march defaults one at a time against the r4 baseline behavior
+    ap.add_argument("--chunk-skip", type=float, default=None,
+                    help="override chunk_skip_transmittance (0 = r4 behavior)")
+    ap.add_argument("--sort-repair", type=int, default=None,
+                    help="override sort_repair width (0 = full bitonic, r4)")
     args = ap.parse_args()
     WIDTH, HEIGHT = args.width, args.height
     cases = args.cases or ["mirror", "glass"]
 
     scene = jax.device_put(random_scene(args.n, seed=0))
     config = RenderConfig(hit_multiplicity=1, order="window", march_chunk=128)
+    if args.chunk_skip is not None:
+        config = config.replace(chunk_skip_transmittance=args.chunk_skip)
+    if args.sort_repair is not None:
+        config = config.replace(sort_repair=args.sort_repair)
     for case in cases:
         if case == "mirror":
             mesh = make_plane((0.0, 0.0, 0.5)).with_type(MeshType.MIRROR)
